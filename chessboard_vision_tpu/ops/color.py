@@ -1,0 +1,193 @@
+"""Color-space conversions matching OpenCV's u8 arithmetic.
+
+The reference pipeline converts colors via cv2.cvtColor (frame_enhancer.py,
+piece_detector.py, change_detector.py). OpenCV's u8 conversions are
+fixed-point with small lookup tables; we reproduce them so the TPU path is
+bit-exact (gray, BGR->HSV) or within 1 intensity level (HSV->BGR, LAB
+round-trip — enhancement-only stages).
+
+Convention: images are (..., H, W, 3) u8 in BGR channel order (OpenCV's),
+or (..., H, W) u8 for grayscale. Outputs keep u8 unless noted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# BGR -> GRAY
+# OpenCV 5 u8 path: Y = (R*9798 + G*19235 + B*3735 + 2^14) >> 15
+# (verified bit-exact against cv2.cvtColor COLOR_BGR2GRAY).
+# ---------------------------------------------------------------------------
+
+_R2Y, _G2Y, _B2Y, _GRAY_SHIFT = 9798, 19235, 3735, 15
+
+
+def bgr2gray(bgr: jnp.ndarray) -> jnp.ndarray:
+    """Exact cv2.COLOR_BGR2GRAY for u8 images."""
+    x = bgr.astype(jnp.int32)
+    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    y = (r * _R2Y + g * _G2Y + b * _B2Y + (1 << (_GRAY_SHIFT - 1))) >> _GRAY_SHIFT
+    return y.astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# BGR -> HSV (u8, H in [0,180))
+# OpenCV fixed-point with 12-bit division tables (verified bit-exact).
+# ---------------------------------------------------------------------------
+
+_HSV_SHIFT = 12
+_idx = np.arange(1, 256)
+_SDIV = np.zeros(256, np.int32)
+_SDIV[1:] = np.round((255 << _HSV_SHIFT) / _idx).astype(np.int32)
+_HDIV = np.zeros(256, np.int32)
+_HDIV[1:] = np.round((180 << _HSV_SHIFT) / (6.0 * _idx)).astype(np.int32)
+del _idx
+
+
+def bgr2hsv(bgr: jnp.ndarray) -> jnp.ndarray:
+    """Exact cv2.COLOR_BGR2HSV for u8 images."""
+    x = bgr.astype(jnp.int32)
+    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    v = jnp.maximum(jnp.maximum(b, g), r)
+    vmin = jnp.minimum(jnp.minimum(b, g), r)
+    diff = v - vmin
+    sdiv = jnp.asarray(_SDIV)[v]
+    s = (diff * sdiv + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    vr = v == r
+    vg = jnp.logical_and(~vr, v == g)
+    h0 = jnp.where(vr, g - b, jnp.where(vg, b - r + 2 * diff, r - g + 4 * diff))
+    hdiv = jnp.asarray(_HDIV)[diff]
+    h = (h0 * hdiv + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    h = jnp.where(h < 0, h + 180, h)
+    return jnp.stack([h, s, v], axis=-1).astype(jnp.uint8)
+
+
+# Sector -> (b, g, r) source index into the value table [v, p, q, t].
+_HSV_SECTOR = np.array(
+    [[1, 3, 0], [1, 0, 2], [3, 0, 1], [0, 2, 1], [0, 1, 3], [2, 1, 0]], np.int32
+)
+
+
+def hsv2bgr(hsv: jnp.ndarray) -> jnp.ndarray:
+    """cv2.COLOR_HSV2BGR for u8 (float path; parity within 1 level)."""
+    h = hsv[..., 0].astype(jnp.float32) * jnp.float32(6.0 / 180.0)
+    s = hsv[..., 1].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    v = hsv[..., 2].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    sector = jnp.floor(h)
+    frac = h - sector
+    sector = jnp.mod(sector.astype(jnp.int32), 6)
+    tab = jnp.stack(
+        [v, v * (1 - s), v * (1 - s * frac), v * (1 - s * (1 - frac))], axis=-1
+    )
+    sel = jnp.asarray(_HSV_SECTOR)[sector]  # (..., 3) indices into tab
+    bgr = jnp.take_along_axis(tab, sel, axis=-1)
+    return jnp.clip(jnp.round(bgr * 255.0), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# BGR -> LAB (u8), OpenCV fixed-point with sRGB gamma (verified max-1-level,
+# ~1e-4 of pixels off by 1 from table-rounding ties).
+# ---------------------------------------------------------------------------
+
+_GAMMA_SHIFT = 3
+_LAB_SHIFT = 12
+_LAB_SHIFT2 = _LAB_SHIFT + _GAMMA_SHIFT
+
+
+def _srgb_inv_gamma(u):
+    return np.where(u <= 0.04045, u / 12.92, ((u + 0.055) / 1.055) ** 2.4)
+
+
+_i = np.arange(256) / 255.0
+_GTAB = np.round(_srgb_inv_gamma(_i) * 255 * (1 << _GAMMA_SHIFT)).astype(np.int32)
+del _i
+
+_CBRT_N = 3 * 255 * (1 << _GAMMA_SHIFT) + 1
+_t = np.arange(_CBRT_N) / (255.0 * (1 << _GAMMA_SHIFT))
+_fx = np.where(_t < 0.008856, _t * 7.787 + 0.13793103448275862, np.cbrt(_t))
+_CBRT_TAB = np.round(_fx * (1 << _LAB_SHIFT2)).astype(np.int32)
+del _t, _fx
+
+_XYZ_M = np.array(
+    [
+        [0.412453, 0.357580, 0.180423],
+        [0.212671, 0.715160, 0.072169],
+        [0.019334, 0.119193, 0.950227],
+    ]
+)
+_WHITE = np.array([0.950456, 1.0, 1.088754])
+_LAB_C = np.round((_XYZ_M / _WHITE[:, None]) * (1 << _LAB_SHIFT)).astype(np.int64)
+for _r in range(3):
+    _LAB_C[_r, 2] = (1 << _LAB_SHIFT) - _LAB_C[_r, 0] - _LAB_C[_r, 1]
+del _r
+_LSCALE = (116 * 255 + 50) // 100
+_LSHIFT = -((16 * 255 * (1 << _LAB_SHIFT2) + 50) // 100)
+
+
+def _descale(x, n):
+    return (x + (1 << (n - 1))) >> n
+
+
+def bgr2lab(bgr: jnp.ndarray) -> jnp.ndarray:
+    """cv2.COLOR_BGR2LAB for u8 (fixed-point; parity within 1 level)."""
+    gtab = jnp.asarray(_GTAB)
+    x = bgr.astype(jnp.int32)
+    B = gtab[x[..., 0]]
+    G = gtab[x[..., 1]]
+    R = gtab[x[..., 2]]
+    C = _LAB_C
+    cbrt = jnp.asarray(_CBRT_TAB)
+    fX = cbrt[_descale(R * int(C[0, 0]) + G * int(C[0, 1]) + B * int(C[0, 2]), _LAB_SHIFT)]
+    fY = cbrt[_descale(R * int(C[1, 0]) + G * int(C[1, 1]) + B * int(C[1, 2]), _LAB_SHIFT)]
+    fZ = cbrt[_descale(R * int(C[2, 0]) + G * int(C[2, 1]) + B * int(C[2, 2]), _LAB_SHIFT)]
+    L = _descale(_LSCALE * fY + _LSHIFT, _LAB_SHIFT2)
+    a = _descale(500 * (fX - fY) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    bb = _descale(200 * (fY - fZ) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    lab = jnp.stack([L, a, bb], axis=-1)
+    return jnp.clip(lab, 0, 255).astype(jnp.uint8)
+
+
+_XYZ_INV = np.linalg.inv(_XYZ_M)
+
+
+def _srgb_gamma(u):
+    return jnp.where(
+        u <= 0.0031308, u * jnp.float32(12.92), 1.055 * u ** jnp.float32(1.0 / 2.4) - 0.055
+    )
+
+
+def lab2bgr(lab: jnp.ndarray) -> jnp.ndarray:
+    """cv2.COLOR_LAB2BGR for u8 (float path; parity within ~1 level)."""
+    L = lab[..., 0].astype(jnp.float32) * jnp.float32(100.0 / 255.0)
+    a = lab[..., 1].astype(jnp.float32) - 128.0
+    b = lab[..., 2].astype(jnp.float32) - 128.0
+    fY = (L + 16.0) / 116.0
+    fX = fY + a / 500.0
+    fZ = fY - b / 200.0
+
+    def finv(f):
+        return jnp.where(f > 6.0 / 29.0, f**3, (f - 16.0 / 116.0) / 7.787)
+
+    X = finv(fX) * _WHITE[0]
+    Y = finv(fY) * _WHITE[1]
+    Z = finv(fZ) * _WHITE[2]
+    Minv = jnp.asarray(_XYZ_INV, jnp.float32)
+    R = Minv[0, 0] * X + Minv[0, 1] * Y + Minv[0, 2] * Z
+    G = Minv[1, 0] * X + Minv[1, 1] * Y + Minv[1, 2] * Z
+    B = Minv[2, 0] * X + Minv[2, 1] * Y + Minv[2, 2] * Z
+    rgb = jnp.stack([B, G, R], axis=-1)
+    rgb = _srgb_gamma(jnp.clip(rgb, 0.0, 1.0))
+    return jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# convertScaleAbs: saturate(round(|x*alpha + beta|)) (verified bit-exact with
+# round-half-even, which cvRound uses).
+# ---------------------------------------------------------------------------
+
+
+def convert_scale_abs(x: jnp.ndarray, alpha: float = 1.0, beta: float = 0.0) -> jnp.ndarray:
+    v = jnp.abs(x.astype(jnp.float32) * jnp.float32(alpha) + jnp.float32(beta))
+    return jnp.clip(jnp.round(v), 0, 255).astype(jnp.uint8)

@@ -7,16 +7,28 @@ driver's __graft_entry__ compile checks.
 
 import os
 
-# Must be set before jax is imported anywhere.
+# Must be set before jax initializes its backends. NB: the axon TPU plugin
+# in this image ignores the JAX_PLATFORMS *env var*, so we also force the
+# platform through jax.config (which does work).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: makes repeated test runs fast.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 @pytest.fixture
