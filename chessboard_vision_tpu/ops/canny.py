@@ -1,0 +1,89 @@
+"""Canny edge detection on device, bit-exact vs cv2.Canny (L1, aperture 3).
+
+Needed by the Hough circle stage (cv2.HoughCircles runs Canny internally
+with thresholds (param1/2, param1) — reference piece_detector.py:232-241)
+and by smart-grid refinement. Matches OpenCV exactly (verified on random
+and structured images): Sobel-3 with replicate border, L1 magnitude,
+direction-quantized NMS with OpenCV's exact >/>= tie rules (strict > on
+both diagonal neighbors), and 8-connected hysteresis.
+
+Hysteresis is a fixpoint loop of masked 3x3 dilations inside
+``lax.while_loop`` — converges in O(longest weak chain) iterations; each
+iteration is a cheap fused elementwise op on the (64, H, W) batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from chessboard_vision_tpu.ops.filters import sobel3
+
+_TG22 = 13573  # tan(22.5 deg) * 2^15, OpenCV's fixed-point constant
+
+
+def _shift2(x, dy, dx):
+    """Shift a (..., H, W) array, filling vacated cells with zero/False."""
+    out = jnp.roll(x, shift=(dy, dx), axis=(-2, -1))
+    zero = jnp.zeros((), x.dtype)
+    if dy > 0:
+        out = out.at[..., :dy, :].set(zero)
+    elif dy < 0:
+        out = out.at[..., dy:, :].set(zero)
+    if dx > 0:
+        out = out.at[..., :, :dx].set(zero)
+    elif dx < 0:
+        out = out.at[..., :, dx:].set(zero)
+    return out
+
+
+def _dilate3(x: jnp.ndarray) -> jnp.ndarray:
+    """8-connected binary dilation of a (..., H, W) bool map."""
+    out = x
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out = out | _shift2(x, dy, dx)
+    return out
+
+
+def canny(img: jnp.ndarray, low: int, high: int, max_iters: int = 256):
+    """cv2.Canny(img, low, high) for u8 (..., H, W) images -> bool edges."""
+    dx, dy = sobel3(img)
+    mag = jnp.abs(dx) + jnp.abs(dy)
+
+    def nb(dy_, dx_):
+        return _shift2(mag, -dy_, -dx_)  # value of neighbor at (+dy_, +dx_)
+
+    c = mag
+    ax = jnp.abs(dx)
+    ay = jnp.abs(dy).astype(jnp.int64) << 15
+    tg22x = ax.astype(jnp.int64) * _TG22
+    tg67x = tg22x + (ax.astype(jnp.int64) << 16)
+    horiz = ay < tg22x
+    vert = (~horiz) & (ay > tg67x)
+    s_pos = (dx ^ dy) >= 0  # gradient signs agree -> main diagonal
+
+    keep_h = (c > nb(0, -1)) & (c >= nb(0, 1))
+    keep_v = (c > nb(-1, 0)) & (c >= nb(1, 0))
+    keep_d_pos = (c > nb(-1, -1)) & (c > nb(1, 1))
+    keep_d_neg = (c > nb(-1, 1)) & (c > nb(1, -1))
+    keep_d = jnp.where(s_pos, keep_d_pos, keep_d_neg)
+    keep = jnp.where(horiz, keep_h, jnp.where(vert, keep_v, keep_d))
+
+    cand = (c > low) & keep
+    strong = cand & (c > high)
+    weak = cand & ~strong
+
+    def cond(carry):
+        cur, changed, i = carry
+        return changed & (i < max_iters)
+
+    def body(carry):
+        cur, _, i = carry
+        new = cur | (_dilate3(cur) & weak)
+        return new, jnp.any(new != cur), i + 1
+
+    edges, _, _ = jax.lax.while_loop(cond, body, (strong, jnp.asarray(True), 0))
+    return edges

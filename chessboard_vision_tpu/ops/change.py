@@ -1,0 +1,148 @@
+"""Batched per-square change detection (EMA background model + z-scores).
+
+TPU-native equivalent of the reference's per-square running-Gaussian model
+(change_detector.py:67-167 and its Cython twin): all 64 squares are one
+(64, H, W) float32 tensor and a frame's full update/detect is a handful of
+fused element-wise ops — no per-square Python loop.
+
+Numerical parity: the reference stores means/variances as float32 and does
+f32 arithmetic; these ops use the same dtype and operation order, so CPU
+results are bit-identical and TPU results match to f32 rounding.
+Percent-changed threshold comparisons are done on integer counts
+(count*100 vs threshold*total), which is exactly equivalent to the
+reference's float comparison against 5/15/75 (see tests).
+
+Intensity codes: 0 = below 5% (ignored), 1 = LEVE, 2 = PARCIAL, 3 = TOTAL.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+INTENSITY_NONE, INTENSITY_LEVE, INTENSITY_PARCIAL, INTENSITY_TOTAL = 0, 1, 2, 3
+INTENSITY_NAMES = ["NONE", "LEVE", "PARCIAL", "TOTAL"]
+
+
+class ChangeModelState(NamedTuple):
+    """Background-model state carried through the pipeline pytree."""
+
+    means: jnp.ndarray  # (64, H, W) f32
+    variances: jnp.ndarray  # (64, H, W) f32
+    calibrated: jnp.ndarray  # () bool
+
+
+def init_state(shape=(64, 77, 77)) -> ChangeModelState:
+    return ChangeModelState(
+        means=jnp.zeros(shape, jnp.float32),
+        variances=jnp.zeros(shape, jnp.float32),
+        calibrated=jnp.asarray(False),
+    )
+
+
+def calibrate(gray: jnp.ndarray, initial_variance: float) -> ChangeModelState:
+    """Initialize the model from preprocessed (blurred gray) squares.
+
+    gray: (64, H, W) u8 or f32 — the _preprocess output per square.
+    """
+    g = gray.astype(jnp.float32)
+    return ChangeModelState(
+        means=g,
+        variances=jnp.full(g.shape, jnp.float32(initial_variance)),
+        calibrated=jnp.asarray(True),
+    )
+
+
+def update_references(
+    state: ChangeModelState,
+    gray: jnp.ndarray,
+    alpha: float,
+    update_mask: jnp.ndarray,
+) -> ChangeModelState:
+    """EMA update of mean/variance on squares where update_mask is True.
+
+    Matches reference update_all_references (change_detector.py:67-92):
+    new_mean = (1-a)*m + a*x; new_var = max((1-a)*v + a*(x-new_mean)^2, 10).
+    """
+    a = jnp.float32(alpha)
+    one_m_a = jnp.float32(1.0) - a
+    g = gray.astype(jnp.float32)
+    new_mean = one_m_a * state.means + a * g
+    diff = g - new_mean
+    new_var = jnp.maximum(one_m_a * state.variances + a * (diff * diff), jnp.float32(10.0))
+    m = update_mask.reshape(-1, 1, 1)
+    return ChangeModelState(
+        means=jnp.where(m, new_mean, state.means),
+        variances=jnp.where(m, new_var, state.variances),
+        calibrated=state.calibrated,
+    )
+
+
+class ChangeDetections(NamedTuple):
+    z_peak: jnp.ndarray  # (64,) f32 peak z-score per square
+    changed_counts: jnp.ndarray  # (64,) i32 pixels above z threshold
+    pct_changed: jnp.ndarray  # (64,) f32
+    intensity: jnp.ndarray  # (64,) i32 code (0..3)
+    significant: jnp.ndarray  # (64,) bool  (pct >= 5%)
+
+
+def detect(
+    state: ChangeModelState,
+    gray: jnp.ndarray,
+    z_threshold: float,
+    valid_mask: jnp.ndarray,
+    counts: jnp.ndarray,
+) -> ChangeDetections:
+    """Z-score change detection over all squares at once.
+
+    Matches reference detect_changes_detailed (change_detector.py:105-167):
+    z = |x - mean| / sqrt(var); changed where z > threshold; intensity from
+    percent-changed with integer-exact threshold comparisons.
+
+    valid_mask: (64, H, W) bool interior mask (variable-size squares);
+    counts: (64,) i32 true pixel counts.
+    """
+    g = gray.astype(jnp.float32)
+    std = jnp.sqrt(state.variances)
+    z = jnp.abs(g - state.means) / std
+    changed = (z > jnp.float32(z_threshold)) & valid_mask
+    ccount = jnp.sum(changed, axis=(-2, -1)).astype(jnp.int32)
+    total = counts.astype(jnp.int32)
+    pct = ccount.astype(jnp.float32) * 100.0 / total.astype(jnp.float32)
+    z_peak = jnp.max(jnp.where(valid_mask, z, -jnp.inf), axis=(-2, -1))
+
+    c100 = ccount.astype(jnp.int64) * 100
+    significant = c100 >= 5 * total.astype(jnp.int64)  # pct >= 5
+    total_i = c100 > 75 * total.astype(jnp.int64)  # pct > 75
+    parcial = c100 > 15 * total.astype(jnp.int64)  # pct > 15
+    intensity = jnp.where(
+        total_i,
+        INTENSITY_TOTAL,
+        jnp.where(parcial, INTENSITY_PARCIAL, INTENSITY_LEVE),
+    )
+    intensity = jnp.where(significant, intensity, INTENSITY_NONE).astype(jnp.int32)
+    return ChangeDetections(
+        z_peak=z_peak,
+        changed_counts=ccount,
+        pct_changed=pct,
+        intensity=intensity,
+        significant=significant,
+    )
+
+
+def classify_hand_pattern(intensity: jnp.ndarray, focus_mask: jnp.ndarray):
+    """Hand-vs-move heuristic on the intensity codes (device version).
+
+    Matches reference classify_hand_pattern (change_detector.py:169-201):
+    >=2 TOTAL squares or >=4 changed squares (or >2) -> hand; exactly 2
+    candidates -> move. focus_mask restricts which squares count.
+    Returns (is_hand, is_move, candidate_mask).
+    """
+    active = (intensity > 0) & focus_mask
+    n_active = jnp.sum(active)
+    n_total = jnp.sum((intensity == INTENSITY_TOTAL) & focus_mask)
+    is_hand = (n_total >= 2) | (n_active >= 4) | (n_active > 2)
+    is_move = (~is_hand) & (n_active == 2)
+    return is_hand, is_move, active

@@ -151,16 +151,18 @@ def normalize_minmax(x: jnp.ndarray, alpha: float = 0.0, beta: float = 255.0) ->
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
-def sobel3(x: jnp.ndarray):
-    """3x3 Sobel dx, dy on u8 (..., H, W) -> int32 pair, BORDER_REPLICATE.
+def sobel3(x: jnp.ndarray, border: str = "replicate"):
+    """3x3 Sobel dx, dy on u8 (..., H, W) -> int32 pair.
 
-    Matches cv2.Sobel(CV_16S, ksize=3, BORDER_REPLICATE), the gradient
-    OpenCV's HoughCircles uses internally.
+    border='replicate' matches the Sobel inside cv2.Canny; 'reflect101'
+    matches a plain cv2.Sobel call (default border), used by the Hough
+    voting stage.
     """
     h, w = x.shape[-2], x.shape[-1]
     pad = [(0, 0)] * x.ndim
     pad[-2] = pad[-1] = (1, 1)
-    xp = jnp.pad(x.astype(jnp.int32), pad, mode="edge")
+    mode = "edge" if border == "replicate" else "reflect"
+    xp = jnp.pad(x.astype(jnp.int32), pad, mode=mode)
 
     def sl(dy, dx):
         idx = [slice(None)] * x.ndim
