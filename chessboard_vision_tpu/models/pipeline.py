@@ -1,0 +1,219 @@
+"""The fused frame->occupancy pipeline: one XLA call per frame.
+
+TPU-first redesign of the reference per-frame hot loop (game_session.py
+on_frame :113-179 minus UI): warp (precomputed-gather bilinear), 8x8 square
+extraction with baked-in blur borders, grayscale + Gaussian preprocess,
+the full piece-detection cascade with delta-cache/history state, and the
+EMA change detector — all inside a single jitted step with donated state,
+so the per-frame host<->device traffic is exactly one H2D (the camera
+frame) and one small D2H (per-square outputs), per SURVEY.md §7.
+
+The temporal state (visual references, result cache, detection history,
+background model) is an explicit PipelineState pytree: step(state, frame)
+-> (state, outputs). Host keeps: rules, FSMs, Lichess, UI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from chessboard_vision_tpu.geometry import BoardGeometry
+from chessboard_vision_tpu.ops import warp as warp_ops
+from chessboard_vision_tpu.ops import change as change_ops
+from chessboard_vision_tpu.ops import hough as hough_ops
+from chessboard_vision_tpu.ops import piece as piece_ops
+from chessboard_vision_tpu.ops.color import bgr2gray
+from chessboard_vision_tpu.ops.filters import gaussian_blur_valid
+from chessboard_vision_tpu.models import piece_detector as pd_model
+
+
+class PipelineState(NamedTuple):
+    piece: pd_model.PieceState
+    change: change_ops.ChangeModelState
+
+
+class StepOutputs(NamedTuple):
+    occupancy: jnp.ndarray  # (64,) bool — smoothed has_piece per square
+    raw_occupancy: jnp.ndarray  # (64,) bool
+    visual_changes: jnp.ndarray  # (64,) bool
+    method: jnp.ndarray  # (64,) i32
+    confidence: jnp.ndarray  # (64,) f32
+    radius: jnp.ndarray  # (64,) i32
+    change_intensity: jnp.ndarray  # (64,) i32 (0 if change detection off)
+    change_pct: jnp.ndarray  # (64,) f32
+    change_z_peak: jnp.ndarray  # (64,) f32
+
+
+class VisionPipeline:
+    """Compiled frame->occupancy pipeline for one calibration geometry.
+
+    Geometry-derived constants (gather maps, masks, Hough params) are baked
+    into the compiled step; recalibrating builds a new pipeline.
+    """
+
+    def __init__(
+        self,
+        geometry: BoardGeometry,
+        piece_settings: Optional[dict] = None,
+        with_change_detector: bool = True,
+        change_settings: Optional[dict] = None,
+        donate_state: bool = True,
+    ):
+        self.geometry = geometry
+        self.dg = warp_ops.DeviceGeometry.from_host(geometry)
+        s = geometry.squares
+        heights, widths = s.heights, s.widths
+        self.H, self.W = int(heights.max()), int(widths.max())
+
+        min_ratio, max_ratio = 0.20, 0.55
+        if piece_settings:
+            if "min_radius" in piece_settings:
+                min_ratio = piece_settings["min_radius"] / 100.0
+            if "max_radius" in piece_settings:
+                max_ratio = piece_settings["max_radius"] / 100.0
+        self.masks = piece_ops.PieceMasks.build(heights, widths, self.H, self.W)
+        self.params, self.bounds = hough_ops.HoughParams.from_geometry(
+            heights, widths, min_ratio=min_ratio, max_ratio=max_ratio
+        )
+        self.with_change = with_change_detector
+        cs = change_settings or {}
+        self.z_threshold = float(cs.get("z_threshold", 2.5))
+        self.initial_variance = float(cs.get("initial_variance", 100.0))
+        self.alpha = float(cs.get("alpha", 0.1))
+
+        donate = (0,) if donate_state else ()
+        self._step = jax.jit(
+            partial(self._step_impl),
+            static_argnames=("use_smoothing", "use_delta"),
+            donate_argnums=donate,
+        )
+        self._preprocess_j = jax.jit(self._preprocess)
+
+    # -- core device functions ------------------------------------------
+
+    def _preprocess(self, frame: jnp.ndarray) -> jnp.ndarray:
+        """frame (Hf, Wf, 3) u8 -> preprocessed gray squares (64, H, W) u8."""
+        board = warp_ops.frame_to_board(frame, self.dg)
+        squares_padded = warp_ops.extract_squares(board, self.dg)  # (64, H+2p, W+2p, 3)
+        gray_padded = bgr2gray(squares_padded)
+        return gaussian_blur_valid(gray_padded, 5)  # (64, H, W)
+
+    def _step_impl(
+        self,
+        state: PipelineState,
+        frame: jnp.ndarray,
+        s2c_mask: jnp.ndarray,
+        s2c_given: jnp.ndarray,
+        use_smoothing: bool = True,
+        use_delta: bool = True,
+    ):
+        gray = self._preprocess(frame)
+
+        piece_state, det = pd_model.detect_all(
+            state.piece,
+            gray,
+            self.masks,
+            self.params,
+            self.bounds,
+            s2c_mask,
+            s2c_given,
+            use_smoothing=use_smoothing,
+            use_delta=use_delta,
+        )
+
+        if self.with_change:
+            cdet = change_ops.detect(
+                state.change, gray, self.z_threshold, self.dg.sq_mask, self.dg.sq_counts
+            )
+            change_state = change_ops.update_references(
+                state.change, gray, self.alpha, jnp.ones((gray.shape[0],), bool)
+            )
+            intensity, pct, zpeak = cdet.intensity, cdet.pct_changed, cdet.z_peak
+        else:
+            change_state = state.change
+            n = gray.shape[0]
+            intensity = jnp.zeros((n,), jnp.int32)
+            pct = jnp.zeros((n,), jnp.float32)
+            zpeak = jnp.zeros((n,), jnp.float32)
+
+        outputs = StepOutputs(
+            occupancy=det.has_piece,
+            raw_occupancy=det.raw_has_piece,
+            visual_changes=det.visual_changes,
+            method=det.method,
+            confidence=det.confidence,
+            radius=det.radius,
+            change_intensity=intensity,
+            change_pct=pct,
+            change_z_peak=zpeak,
+        )
+        return PipelineState(piece=piece_state, change=change_state), outputs
+
+    # -- host API --------------------------------------------------------
+
+    def init_state(self) -> PipelineState:
+        shape = (64, self.H, self.W)
+        return PipelineState(
+            piece=pd_model.init_state(shape),
+            change=change_ops.init_state(shape),
+        )
+
+    def capture_reference(self, state: PipelineState, frame) -> PipelineState:
+        """Set visual references from a frame (reference capture_reference,
+        game_session.py:93-111: update_references on the piece detector;
+        calibrates the change model too)."""
+        gray = self._preprocess_j(jnp.asarray(frame))
+        piece = pd_model.update_references(state.piece, gray)
+        change = change_ops.calibrate(gray, self.initial_variance)
+        return PipelineState(piece=piece, change=change)
+
+    def step(
+        self,
+        state: PipelineState,
+        frame,
+        squares_to_check=None,
+        use_smoothing: bool = True,
+        use_delta: bool = True,
+    ):
+        """Process one frame. squares_to_check: optional set of (file, rank)."""
+        if squares_to_check is None:
+            s2c_mask = jnp.zeros((64,), bool)
+            s2c_given = jnp.asarray(False)
+        else:
+            m = np.zeros(64, bool)
+            for f, r in squares_to_check:
+                if 0 <= f < 8 and 0 <= r < 8:
+                    m[r * 8 + f] = True
+            s2c_mask = jnp.asarray(m)
+            s2c_given = jnp.asarray(True)
+        return self._step(
+            state,
+            jnp.asarray(frame),
+            s2c_mask,
+            s2c_given,
+            use_smoothing=use_smoothing,
+            use_delta=use_delta,
+        )
+
+    def warp_board(self, frame) -> np.ndarray:
+        """Warped top-down board image (UI / calibration path)."""
+        return np.asarray(warp_ops.frame_to_board(jnp.asarray(frame), self.dg))
+
+
+def occupancy_to_set(occ) -> set:
+    """(64,) bool (chess-index order) -> {(file, rank)} set."""
+    occ = np.asarray(occ)
+    return {(sq % 8, sq // 8) for sq in range(64) if occ[sq]}
+
+
+def positions_to_mask(positions) -> np.ndarray:
+    m = np.zeros(64, bool)
+    for f, r in positions:
+        if 0 <= f < 8 and 0 <= r < 8:
+            m[r * 8 + f] = True
+    return m
