@@ -109,13 +109,24 @@ class VisionPipeline:
         frame: jnp.ndarray,
         s2c_mask: jnp.ndarray,
         s2c_given: jnp.ndarray,
+        refresh_refs: jnp.ndarray,
         use_smoothing: bool = True,
         use_delta: bool = True,
     ):
         gray = self._preprocess(frame)
 
+        # Post-move forced re-reference (reference game_session.py:221:
+        # update_references + cache clear), applied with this frame's gray
+        # inside the same XLA call so the noise FSM sees no phantom changes.
+        p = state.piece
+        piece_in = p._replace(
+            ref_gray=jnp.where(refresh_refs, gray, p.ref_gray),
+            has_ref=jnp.where(refresh_refs, True, p.has_ref),
+            has_cache=jnp.where(refresh_refs, False, p.has_cache),
+        )
+
         piece_state, det = pd_model.detect_all(
-            state.piece,
+            piece_in,
             gray,
             self.masks,
             self.params,
@@ -177,10 +188,12 @@ class VisionPipeline:
         state: PipelineState,
         frame,
         squares_to_check=None,
+        refresh_refs: bool = False,
         use_smoothing: bool = True,
         use_delta: bool = True,
     ):
-        """Process one frame. squares_to_check: optional set of (file, rank)."""
+        """Process one frame. squares_to_check: optional set of (file, rank);
+        refresh_refs forces a visual re-reference from this frame first."""
         if squares_to_check is None:
             s2c_mask = jnp.zeros((64,), bool)
             s2c_given = jnp.asarray(False)
@@ -196,6 +209,7 @@ class VisionPipeline:
             jnp.asarray(frame),
             s2c_mask,
             s2c_given,
+            jnp.asarray(refresh_refs),
             use_smoothing=use_smoothing,
             use_delta=use_delta,
         )

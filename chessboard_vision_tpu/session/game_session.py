@@ -1,0 +1,289 @@
+"""GameSession — per-frame orchestration, stability gating, move inference.
+
+Behavioral equivalent of reference game_session.py, rebuilt around the
+fused device pipeline: on_frame does ONE pipeline step (a single XLA call)
+instead of per-square OpenCV work, then runs the host-side control plane:
+noise FSM, occupancy-stability gate (20 frames / 2 s cooldown / >4-diff
+reset), legal-move inference with ambiguity rejection, and the
+on_move_detected subclass hook. Thread safety matches the reference:
+``board_lock`` (RLock) is held across inference+push and by the Lichess
+stream thread's state sync.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from chessboard_vision_tpu import geometry as geo
+from chessboard_vision_tpu.models.pipeline import VisionPipeline, occupancy_to_set
+from chessboard_vision_tpu.rules import chess, GameState
+from chessboard_vision_tpu.session.noise import NoiseHandler, NoiseState
+from chessboard_vision_tpu.utils.config import (
+    CALIBRATION_FILE,
+    PIECE_SETTINGS_FILE,
+    load_json_config,
+)
+from chessboard_vision_tpu.utils.logging import get_logger
+from chessboard_vision_tpu.utils.profiling import FpsCounter
+
+
+class GameSession:
+    STATE_IDLE = "IDLE"
+    STATE_WAITING = "WAITING"
+    STATE_PROCESSING = "PROCESSING"
+
+    STABILITY_REQUIRED = 20  # stable frames before committing a move
+    MOVE_COOLDOWN = 2.0  # seconds after a committed move
+    FULL_SCAN_PERIOD = 30  # full 64-square scan every Nth frame
+
+    def __init__(self, headless: bool = False, compat_visual_rank_quirk: bool = False):
+        self.status = self.STATE_IDLE
+        self.config: Optional[dict] = None
+        self.board_lock = threading.RLock()
+        self.headless = headless
+        # Reference quirk (game_session.py:151-154): legal-move destinations
+        # were added to the smart-scan set with a *visual* rank (7 - rank).
+        # Fixed by default; enable for bug-compatible scanning.
+        self.compat_visual_rank_quirk = compat_visual_rank_quirk
+
+        self.pipeline: Optional[VisionPipeline] = None
+        self.pipe_state = None
+        self.game: Optional[GameState] = None
+        self.noise: Optional[NoiseHandler] = None
+
+        self.player_color = None
+        self.orientation_flipped = False
+
+        self.fps = FpsCounter()
+        self.frame_count = 0
+
+        self.stable_occupancy = None
+        self.stable_count = 0
+        self.last_move_time = 0.0
+
+        self.current_radar_destinations = []
+        self.lifted_piece_square = None
+        self.last_outputs = None
+        self._refresh_next = False
+        self.log = get_logger("session")
+
+    # -- calibration -----------------------------------------------------
+
+    def on_calibration_requested(self, cap, config: Optional[dict] = None) -> bool:
+        """Calibrate from a provided config dict, a saved calibration.json,
+        or the interactive calibration tool (when a camera is given)."""
+        if config is None:
+            config = load_json_config(CALIBRATION_FILE)
+        if config is None and cap is not None:
+            from chessboard_vision_tpu.tools.calibration_module import CalibrationModule
+
+            config = CalibrationModule().run(cap)
+        if config is None:
+            return False
+        self.configure(config)
+        if cap is not None:
+            self.capture_reference(cap)
+        return True
+
+    def configure(self, config: dict):
+        """Build the pipeline and control-plane components from calibration."""
+        self.config = config
+        self.player_color = config.get("player_color")
+        self.orientation_flipped = config.get("orientation_flipped", False)
+        geometry = geo.BoardGeometry.from_config(config)
+        piece_settings = load_json_config(PIECE_SETTINGS_FILE)
+        self.pipeline = VisionPipeline(geometry, piece_settings=piece_settings)
+        self.pipe_state = self.pipeline.init_state()
+        self.game = GameState()
+        self.noise = NoiseHandler()
+        self.status = self.STATE_IDLE
+
+    def capture_reference(self, cap, warmup: int = 10):
+        """Capture the initial visual reference (reference game_session.py:93)."""
+        for _ in range(warmup):
+            cap.read()
+        ok, img = cap.read()
+        if ok:
+            self.capture_reference_frame(img)
+
+    def capture_reference_frame(self, img: np.ndarray):
+        self.pipe_state = self.pipeline.capture_reference(self.pipe_state, img)
+        self.status = self.STATE_IDLE
+        self.log.info("reference captured; game ready")
+
+    # -- per-frame hot path ----------------------------------------------
+
+    def _smart_scan_set(self):
+        """Occupied squares + legal-move destinations (game_session.py:130-154)."""
+        squares = set()
+        with self.board_lock:
+            squares.update(self.game.get_board_occupancy())
+            for move in self.game.board.legal_moves:
+                f = chess.square_file(move.to_square)
+                r = chess.square_rank(move.to_square)
+                if self.compat_visual_rank_quirk:
+                    squares.add((f, 7 - r))
+                else:
+                    squares.add((f, r))
+        return squares
+
+    def on_frame(self, img: np.ndarray):
+        """Process one camera frame (the main event)."""
+        self.frame_count += 1
+        self.fps.update()
+
+        squares_to_check = None
+        if self.frame_count % self.FULL_SCAN_PERIOD != 0 and self.game is not None:
+            squares_to_check = self._smart_scan_set()
+
+        refresh = self._refresh_next
+        self._refresh_next = False
+        self.pipe_state, out = self.pipeline.step(
+            self.pipe_state, img, squares_to_check=squares_to_check, refresh_refs=refresh
+        )
+        self.last_outputs = out
+        vision_occupied = occupancy_to_set(out.occupancy)
+        visual_changes = occupancy_to_set(out.visual_changes)
+
+        noise_state, noise_data = self.noise.process(visual_changes)
+        self.status = (
+            self.STATE_WAITING if noise_state == NoiseState.NOISE_ACTIVE else self.STATE_PROCESSING
+        )
+
+        self._update_radar_ui(vision_occupied)
+        move = self._process_stable_move(vision_occupied, noise_state)
+
+        if not self.headless:
+            self._draw_interface(img, noise_state)
+        return move
+
+    # -- stability + inference -------------------------------------------
+
+    def _process_stable_move(self, vision_occupied, noise_state):
+        with self.board_lock:
+            expected = self.game.get_board_occupancy()
+            diff_missing = expected - vision_occupied
+            diff_extra = vision_occupied - expected
+            total_diff = len(diff_missing) + len(diff_extra)
+
+            if total_diff > 4:  # too much change: probable hand/noise
+                self.stable_count = 0
+                self.stable_occupancy = set()
+            elif self.stable_occupancy == vision_occupied:
+                self.stable_count += 1
+            else:
+                self.stable_occupancy = set(vision_occupied)
+                self.stable_count = 1
+
+            now = time.time()
+            cooldown_ok = (now - self.last_move_time) > self.MOVE_COOLDOWN
+            if (
+                self.stable_count >= self.STABILITY_REQUIRED
+                and cooldown_ok
+                and noise_state != NoiseState.NOISE_ACTIVE
+            ):
+                move = self._infer_move(diff_missing, diff_extra, vision_occupied)
+                if move:
+                    self.log.info("robust move detected: %s", move.uci())
+                    # Hook may block on network; lock intentionally held so
+                    # the stream thread can't mutate the board meanwhile
+                    # (reference game_session.py:211-213).
+                    if self.on_move_detected(move):
+                        if move in self.game.board.legal_moves:
+                            self.game.board.push(move)
+                            self.last_move_time = now
+                            self._refresh_references()
+                            self.noise.reset()
+                            self.stable_count = 0
+                            return move
+                        self.log.critical(
+                            "move %s became illegal before push", move.uci()
+                        )
+        return None
+
+    def _refresh_references(self):
+        """Schedule a forced visual re-reference after a committed move
+        (reference game_session.py:221: update_references + cache clear).
+        Applied inside the next frame's device step with that frame's
+        content — see VisionPipeline.step(refresh_refs=True)."""
+        self._refresh_next = True
+
+    def _infer_move(self, diff_missing, diff_extra, vision_occupied):
+        """Infer one legal move from occupancy diffs (game_session.py:227-265)."""
+        possible = []
+        for orig in diff_missing:
+            orig_sq = chess.square(orig[0], orig[1])
+            for dest in diff_extra:
+                dest_sq = chess.square(dest[0], dest[1])
+                cand = chess.Move(orig_sq, dest_sq)
+                if cand not in self.game.board.legal_moves:
+                    promo = chess.Move(orig_sq, dest_sq, promotion=chess.QUEEN)
+                    if promo in self.game.board.legal_moves:
+                        cand = promo
+                if cand in self.game.board.legal_moves:
+                    possible.append(cand)
+        for orig in diff_missing:
+            orig_sq = chess.square(orig[0], orig[1])
+            for move in self.game.board.legal_moves:
+                if move.from_square == orig_sq and self.game.board.is_capture(move):
+                    d = (chess.square_file(move.to_square), chess.square_rank(move.to_square))
+                    if d in vision_occupied:
+                        possible.append(move)
+        unique = list(set(possible))
+        if len(unique) == 1:
+            return unique[0]
+        if len(unique) > 1:
+            self.log.info("ambiguous moves: %s", [m.uci() for m in unique])
+        return None
+
+    def on_move_detected(self, move) -> bool:
+        """Subclass hook; True accepts the move locally."""
+        return True
+
+    # -- UI ---------------------------------------------------------------
+
+    def _update_radar_ui(self, vision_occupied):
+        expected = self.game.get_board_occupancy()
+        lifted = expected - vision_occupied
+        self.lifted_piece_square = None
+        self.current_radar_destinations = []
+        if len(lifted) == 1:
+            pos = next(iter(lifted))
+            sq = chess.square(pos[0], pos[1])
+            piece = self.game.board.piece_at(sq)
+            if piece and piece.color == self.game.board.turn:
+                self.lifted_piece_square = pos
+                for move in self.game.board.legal_moves:
+                    if move.from_square == sq:
+                        self.current_radar_destinations.append(
+                            (chess.square_file(move.to_square), chess.square_rank(move.to_square))
+                        )
+
+    def _draw_interface(self, img_raw, noise_state):
+        """cv2 overlay rendering (host-side; optional)."""
+        import cv2
+
+        from chessboard_vision_tpu.session.renderer import draw_board_overlay
+
+        vis = self.pipeline.warp_board(img_raw)
+        draw_board_overlay(
+            vis,
+            board_size=self.pipeline.geometry.board_size,
+            grid_x=self.pipeline.geometry.grid_x,
+            grid_y=self.pipeline.geometry.grid_y,
+            game=self.game,
+            board_lock=self.board_lock,
+            noise_active=noise_state == NoiseState.NOISE_ACTIVE,
+            lifted=self.lifted_piece_square,
+            radar=self.current_radar_destinations,
+            fps=self.fps.fps,
+        )
+        cv2.imshow("Board", vis)
+        cv2.imshow("Camera", img_raw)
+
+    def on_exit(self):
+        pass

@@ -1,0 +1,144 @@
+"""LichessSession — GameSession wired to the Lichess Board API.
+
+Behavioral equivalent of reference lichess_session.py: overrides
+on_move_detected to POST detected moves; a background daemon thread
+replays the server's move list into the local board under board_lock with
+double-checked locking (the reference's consistency protocol, SURVEY.md
+§3.3); CLI helpers to select or await a game.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from chessboard_vision_tpu.session.game_session import GameSession
+from chessboard_vision_tpu.net.lichess_client import LichessClient
+
+
+class LichessSession(GameSession):
+    def __init__(self, client: LichessClient = None, **kw):
+        super().__init__(**kw)
+        self.lichess = client if client is not None else LichessClient()
+        self.game_id = None
+        self.my_color = None
+        self.waiting_for_opponent = False
+        self.last_lichess_moves = ""
+        self.stop_event = threading.Event()
+        self._stream_thread = None
+
+    def connect_and_setup(self, interactive: bool = True) -> bool:
+        self.log.info("connecting to Lichess...")
+        if not self.lichess.connect():
+            self.log.warning("Lichess connection failed")
+            return False
+        game_id = self._select_or_create_game() if interactive else self._first_ongoing_game()
+        if not game_id:
+            return False
+        self.start_game(game_id)
+        return True
+
+    def start_game(self, game_id: str):
+        """Attach to a game id and start the background stream thread."""
+        self.game_id = game_id
+        self.log.info("joining game %s", game_id)
+        self._stream_thread = threading.Thread(target=self._stream_task, daemon=True)
+        self._stream_thread.start()
+        time.sleep(0.5)  # allow initial sync
+
+    def on_move_detected(self, move) -> bool:
+        """Send the detected move to Lichess; reject when not our turn."""
+        if self.waiting_for_opponent:
+            self.log.info("not our turn; move %s ignored", move.uci())
+            return False
+        uci = move.uci()
+        if self.lichess.make_move(uci):
+            self.waiting_for_opponent = True
+            # Lock already held by the caller (GameSession commit path).
+            self.last_lichess_moves = (
+                f"{self.last_lichess_moves} {uci}".strip()
+            )
+            return True
+        self.log.warning("move %s rejected by API", uci)
+        return False
+
+    def _stream_task(self):
+        for event in self.lichess.stream_game(self.game_id):
+            if self.stop_event.is_set():
+                break
+            etype = event.get("type")
+            if etype == "gameFull":
+                self.my_color = self.lichess.my_color
+                self._sync_moves(event.get("state", {}).get("moves", ""))
+            elif etype == "gameState":
+                status = event.get("status")
+                if status != "started":
+                    self.log.info("game finished: %s", status)
+                    self.stop_event.set()
+                else:
+                    self._sync_moves(event.get("moves", ""))
+
+    def _sync_moves(self, moves_str: str):
+        """Replay the authoritative server move list (double-checked lock)."""
+        if moves_str == self.last_lichess_moves:
+            return
+        with self.board_lock:
+            if moves_str == self.last_lichess_moves:
+                return
+            self.game.reset()
+            if moves_str:
+                for uci in moves_str.split():
+                    try:
+                        self.game.board.push_uci(uci)
+                    except ValueError:
+                        pass
+            self.last_lichess_moves = moves_str
+            is_my_turn = self.lichess.is_my_turn(moves_str)
+            self.waiting_for_opponent = not is_my_turn
+            if not is_my_turn:
+                last = self.lichess.get_last_move(moves_str)
+                if last:
+                    self.log.info("opponent played: %s", last)
+
+    def on_exit(self):
+        self.stop_event.set()
+
+    # -- CLI helpers ------------------------------------------------------
+
+    def _first_ongoing_game(self):
+        games = self.lichess.get_ongoing_games()
+        if games:
+            return games[0].get("gameId", games[0].get("id"))
+        return None
+
+    def _select_or_create_game(self):
+        games = self.lichess.get_ongoing_games()
+        if games:
+            print("\n=== ONGOING GAMES ===")
+            for i, g in enumerate(games):
+                gid = g.get("gameId", g.get("id"))
+                opp = g.get("opponent", {}).get("username", "?")
+                print(f"  [{i + 1}] {gid}: vs {opp}")
+            print("\n  [0] Wait for a new game")
+            try:
+                choice = input("Choice: ")
+                if choice == "0":
+                    return self._wait_for_challenge()
+                idx = int(choice) - 1
+                if 0 <= idx < len(games):
+                    return games[idx].get("gameId", games[idx].get("id"))
+            except (ValueError, EOFError):
+                pass
+        return self._wait_for_challenge()
+
+    def _wait_for_challenge(self):
+        print("\n=== WAITING FOR GAME ===\nCreate a game on Lichess now...")
+        try:
+            while not self.stop_event.is_set():
+                time.sleep(2)
+                games = self.lichess.get_ongoing_games()
+                if games:
+                    return games[0].get("gameId", games[0].get("id"))
+                print(".", end="", flush=True)
+        except KeyboardInterrupt:
+            return None

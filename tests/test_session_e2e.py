@@ -1,0 +1,97 @@
+"""Full-session end-to-end: synthetic camera clip -> committed legal move.
+
+Drives GameSession.on_frame with rendered frames (calibration config ->
+pipeline -> noise FSM -> stability gate -> move inference -> board push)
+and checks the move lands on the rules board — the whole stack minus real
+camera and network.
+"""
+
+import numpy as np
+import pytest
+
+from chessboard_vision_tpu.session.game_session import GameSession
+from chessboard_vision_tpu.rules import chess
+
+from fixtures import make_board_frame, initial_occupancy, DEFAULT_CORNERS
+
+
+def make_config():
+    return {
+        "corners": DEFAULT_CORNERS.tolist(),
+        "player_color": "white",
+        "orientation_flipped": False,
+        "grid_lines_x": None,
+        "grid_lines_y": None,
+    }
+
+
+@pytest.fixture(scope="module")
+def session_and_frames():
+    rng = np.random.default_rng(77)
+    s = GameSession(headless=True)
+    s.MOVE_COOLDOWN = 0.0  # no wall-clock wait in tests
+    assert s.on_calibration_requested(None, config=make_config())
+    occ0 = initial_occupancy()
+    frame0 = make_board_frame(occ0, rng)
+    s.capture_reference_frame(frame0)
+    return s, rng, occ0
+
+
+def test_move_detected_and_committed(session_and_frames):
+    s, rng, occ0 = session_and_frames
+    # Warm-up stable frames on the initial position: no move inferred.
+    for _ in range(5):
+        move = s.on_frame(make_board_frame(occ0, rng))
+        assert move is None
+
+    occ1 = occ0.copy()
+    occ1[4, 1] = False
+    occ1[4, 3] = True  # e2 -> e4
+
+    committed = None
+    for i in range(40):
+        committed = s.on_frame(make_board_frame(occ1, rng))
+        if committed:
+            break
+    assert committed is not None, "move was never committed"
+    assert committed.uci() == "e2e4"
+    assert s.game.board.move_stack[-1].uci() == "e2e4"
+    assert s.game.get_turn_name() == "black"
+
+
+def test_second_move_by_black(session_and_frames):
+    s, rng, occ0 = session_and_frames
+    occ2 = occ0.copy()
+    occ2[4, 1] = False
+    occ2[4, 3] = True
+    occ2[4, 6] = False
+    occ2[4, 4] = True  # e7 -> e5
+
+    committed = None
+    for _ in range(40):
+        committed = s.on_frame(make_board_frame(occ2, rng))
+        if committed:
+            break
+    assert committed is not None and committed.uci() == "e7e5"
+    assert s.game.get_turn_name() == "white"
+
+
+def test_hand_occlusion_blocks_commit(session_and_frames):
+    s, rng, occ0 = session_and_frames
+    # Current position after e4 e5
+    occ = occ0.copy()
+    occ[4, 1] = False
+    occ[4, 3] = True
+    occ[4, 6] = False
+    occ[4, 4] = True
+    base = make_board_frame(occ, rng)
+    hand = base.copy()
+    hand[200:560, 400:900] = (120, 110, 100)
+    for _ in range(6):
+        move = s.on_frame(hand)
+        assert move is None
+    assert s.noise.is_blocked() or s.stable_count < s.STABILITY_REQUIRED
+    # Recover with clean frames; no phantom move appears.
+    for _ in range(25):
+        move = s.on_frame(make_board_frame(occ, rng))
+        assert move is None
