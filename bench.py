@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Benchmark: single-stream 1080p frame->FEN throughput on one TPU core.
+
+Prints ONE JSON line on stdout:
+  {"metric": "fps_1080p_frame_to_fen", "value": N, "unit": "fps",
+   "vs_baseline": N/500}
+(the BASELINE north-star is >=500 fps). Per-stage and batched-stream
+details go to stderr.
+
+Flags: --dry (tiny shapes, CPU-friendly sanity run), --frames N.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(display_size, corners):
+    from chessboard_vision_tpu import geometry as geo
+    from chessboard_vision_tpu.models.pipeline import VisionPipeline
+
+    g = geo.BoardGeometry.from_calibration(corners, display_size=display_size)
+    return VisionPipeline(g)
+
+
+def synth_frame(rng, h, w):
+    """A board-like frame (realistic edge density for the Hough/Canny load)."""
+    import cv2
+
+    frame = np.full((h, w, 3), 60, np.uint8)
+    occ = np.zeros((8, 8), bool)
+    occ[:, :2] = occ[:, 6:] = True
+    bs = min(h, w) - 100
+    sq = bs // 8
+    x0, y0 = (w - bs) // 2, (h - bs) // 2
+    for row in range(8):
+        for col in range(8):
+            c = (181, 217, 240) if (row + col) % 2 == 0 else (99, 136, 181)
+            frame[y0 + row * sq : y0 + (row + 1) * sq, x0 + col * sq : x0 + (col + 1) * sq] = c
+    for f in range(8):
+        for r in range(8):
+            if occ[f, r]:
+                cx = x0 + f * sq + sq // 2
+                cy = y0 + (7 - r) * sq + sq // 2
+                col = (235, 235, 245) if r <= 3 else (40, 36, 30)
+                cv2.circle(frame, (cx, cy), int(sq * 0.36), col, -1)
+    noise = rng.normal(0, 2.5, frame.shape)
+    frame = np.clip(frame.astype(np.float64) + noise, 0, 255).astype(np.uint8)
+    return frame, (x0, y0, bs)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dry", action="store_true", help="tiny CPU-friendly run")
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--streams", type=int, default=8, help="batched-stream secondary bench")
+    args = ap.parse_args()
+
+    if args.dry:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from chessboard_vision_tpu.models.pipeline import occupancy_to_set
+    from chessboard_vision_tpu.rules import occupancy_to_fen
+
+    rng = np.random.default_rng(0)
+    if args.dry:
+        h, w, iters = 360, 640, 10
+    else:
+        h, w, iters = 1080, 1920, args.frames
+
+    frame, (x0, y0, bs) = synth_frame(rng, h, w)
+    corners = np.array([[x0, y0], [x0 + bs, y0], [x0, y0 + bs], [x0 + bs, y0 + bs]])
+    log(f"devices: {jax.devices()}")
+    pipe = build((w, h), corners)
+    state = pipe.init_state()
+
+    from chessboard_vision_tpu.ops.static_resample import to_planar
+
+    frame_dev = jnp.asarray(to_planar(frame))  # planar = TPU-native fast path
+    state = pipe.capture_reference(state, frame_dev)
+
+    # warmup/compile
+    t0 = time.time()
+    state, out = pipe.step(state, frame_dev)
+    jax.block_until_ready(out)
+    log(f"compile+first step: {time.time() - t0:.1f}s")
+
+    # steady state: frame -> occupancy -> FEN (host)
+    times = []
+    fen = None
+    for i in range(iters):
+        t0 = time.perf_counter()
+        state, out = pipe.step(state, frame_dev)
+        occ = np.asarray(out.occupancy)  # D2H sync point
+        mask = np.zeros((8, 8), bool)
+        for f, r in occupancy_to_set(occ):
+            mask[f, r] = True
+        fen = occupancy_to_fen(mask)
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    p50 = float(np.percentile(times, 50))
+    fps = 1.0 / p50
+    log(f"single-stream: p50 {p50 * 1e3:.2f} ms  p95 {np.percentile(times, 95) * 1e3:.2f} ms  "
+        f"fps {fps:.1f}  fen={fen.split()[0]}")
+
+    # secondary: batched streams on one chip
+    try:
+        from chessboard_vision_tpu.parallel import MultiStreamPipeline
+        from chessboard_vision_tpu import geometry as geo
+
+        n = args.streams
+        ms = MultiStreamPipeline(
+            geo.BoardGeometry.from_calibration(corners, display_size=(w, h)), n_streams=n
+        )
+        mstate = ms.init_state()
+        frames = jnp.asarray(np.broadcast_to(to_planar(frame), (n, 3, h, w)).copy())
+        mstate = ms.capture_reference(mstate, frames)
+        mstate, mout = ms.step(mstate, frames)
+        jax.block_until_ready(mout)
+        bt = []
+        for _ in range(max(3, iters // 10)):
+            t0 = time.perf_counter()
+            mstate, mout = ms.step(mstate, frames)
+            jax.block_until_ready(mout)
+            bt.append(time.perf_counter() - t0)
+        bp50 = float(np.percentile(bt, 50))
+        log(f"batched {n}-stream: p50 {bp50 * 1e3:.2f} ms/tick -> {n / bp50:.1f} frames/s aggregate")
+    except Exception as e:  # secondary metric must not break the bench
+        log(f"batched bench skipped: {e}")
+
+    print(json.dumps({
+        "metric": "fps_1080p_frame_to_fen",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 500.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

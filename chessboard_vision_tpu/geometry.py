@@ -288,6 +288,15 @@ class BoardGeometry:
     warp_X: np.ndarray = field(repr=False)  # (B,B) f32 source x coords
     warp_Y: np.ndarray = field(repr=False)
     squares: SquareMaps = field(repr=False)
+    src_w: int = 1280  # camera frame width
+    src_h: int = 720
+
+    def square_query_coords(self):
+        """Source-frame coords for every padded square pixel: the composed
+        warp+extract sampling positions, (64, Hp, Wp) each for X and Y."""
+        qx = self.warp_X[self.squares.iy, self.squares.ix]
+        qy = self.warp_Y[self.squares.iy, self.squares.ix]
+        return qx, qy
 
     @classmethod
     def from_calibration(
@@ -315,6 +324,8 @@ class BoardGeometry:
             warp_X=X,
             warp_Y=Y,
             squares=sq,
+            src_w=display_size[0],
+            src_h=display_size[1],
         )
 
     @classmethod

@@ -103,7 +103,10 @@ def _stable_detection(hist, hist_len):
     return jnp.where(hist_len < 3, last, presence >= MIN_PRESENCE)
 
 
-@partial(jax.jit, static_argnames=("bounds", "use_smoothing", "use_delta"))
+@partial(
+    jax.jit,
+    static_argnames=("bounds", "use_smoothing", "use_delta", "hough_backend", "conv_dims"),
+)
 def detect_all(
     state: PieceState,
     gray: jnp.ndarray,
@@ -114,6 +117,9 @@ def detect_all(
     s2c_given: jnp.ndarray,  # () bool — whether squares_to_check was provided
     use_smoothing: bool = True,
     use_delta: bool = True,
+    hough_backend: str = "exact",
+    conv_plan=None,
+    conv_dims=None,
 ) -> Tuple[PieceState, DetectAllOutputs]:
     """One detect_all_pieces step. gray: (64, H, W) u8 preprocessed squares."""
     changed = _mean_diff_exceeds(
@@ -126,7 +132,10 @@ def detect_all(
     should = forced | (~forced & delta_path & (~state.has_cache | changed))
     use_fresh = should | ~state.has_cache
 
-    fresh = piece_ops.detect_pieces(gray, masks, params, bounds)
+    fresh = piece_ops.detect_pieces(
+        gray, masks, params, bounds,
+        hough_backend=hough_backend, conv_plan=conv_plan, conv_dims=conv_dims,
+    )
 
     raw_has = jnp.where(use_fresh, fresh.has_piece, state.cache_has)
     raw_method = jnp.where(use_fresh, fresh.method, state.cache_method)

@@ -26,9 +26,11 @@ from chessboard_vision_tpu.geometry import BoardGeometry
 from chessboard_vision_tpu.ops import warp as warp_ops
 from chessboard_vision_tpu.ops import change as change_ops
 from chessboard_vision_tpu.ops import hough as hough_ops
+from chessboard_vision_tpu.ops import hough_conv as hough_conv_ops
 from chessboard_vision_tpu.ops import piece as piece_ops
 from chessboard_vision_tpu.ops.color import bgr2gray
 from chessboard_vision_tpu.ops.filters import gaussian_blur_valid
+from chessboard_vision_tpu.ops import static_resample as sr
 from chessboard_vision_tpu.models import piece_detector as pd_model
 
 
@@ -63,6 +65,7 @@ class VisionPipeline:
         with_change_detector: bool = True,
         change_settings: Optional[dict] = None,
         donate_state: bool = True,
+        hough_backend: str = "auto",
     ):
         self.geometry = geometry
         self.dg = warp_ops.DeviceGeometry.from_host(geometry)
@@ -80,6 +83,24 @@ class VisionPipeline:
         self.params, self.bounds = hough_ops.HoughParams.from_geometry(
             heights, widths, min_ratio=min_ratio, max_ratio=max_ratio
         )
+        # Backend seam (the reference's accelerated-impl alias pattern,
+        # frame_enhancer.py:184-190): 'exact' is the cv2-faithful voting
+        # transform; 'conv' the MXU annular-correlation detector. 'auto'
+        # picks conv on TPU (scatter voting serializes there), exact
+        # elsewhere (bit-for-bit with the oracle in parity tests).
+        if hough_backend == "auto":
+            hough_backend = "conv" if jax.default_backend() == "tpu" else "exact"
+        self.hough_backend = hough_backend
+        if hough_backend == "conv":
+            self.conv_plan, self.conv_dims = hough_conv_ops.ConvHoughPlan.build(
+                heights, widths, min_ratio=min_ratio, max_ratio=max_ratio
+            )
+        else:
+            self.conv_plan, self.conv_dims = None, None
+        self._pad = geometry.squares.pad
+        qx, qy = geometry.square_query_coords()
+        self._plan = sr.ResamplePlan.build(qx, qy, geometry.src_h, geometry.src_w)
+
         self.with_change = with_change_detector
         cs = change_settings or {}
         self.z_threshold = float(cs.get("z_threshold", 2.5))
@@ -97,10 +118,26 @@ class VisionPipeline:
     # -- core device functions ------------------------------------------
 
     def _preprocess(self, frame: jnp.ndarray) -> jnp.ndarray:
-        """frame (Hf, Wf, 3) u8 -> preprocessed gray squares (64, H, W) u8."""
-        board = warp_ops.frame_to_board(frame, self.dg)
-        squares_padded = warp_ops.extract_squares(board, self.dg)  # (64, H+2p, W+2p, 3)
-        gray_padded = bgr2gray(squares_padded)
+        """frame -> preprocessed gray squares (64, H, W) u8.
+
+        Accepts (3, Hf, Wf) planar u8 (the TPU-native frame layout — fast
+        static-resample path, no gathers) or (Hf, Wf, 3) HWC (slow XLA-
+        gather path kept for parity tests / odd layouts). Both paths are
+        bit-identical: per-channel bilinear, u8 round, exact fixed-point
+        gray, valid-mode blur over the baked-in reflect borders.
+        """
+        pad_shape = (64, self.H + 2 * self._pad, self.W + 2 * self._pad)
+        if frame.ndim == 3 and frame.shape[0] == 3:
+            b, g, r = sr.resample_bgr(frame, self._plan, self.geometry.src_w)
+            x = jnp.stack([b, g, r]).astype(jnp.int32)
+            gray_flat = (
+                (x[2] * 9798 + x[1] * 19235 + x[0] * 3735 + (1 << 14)) >> 15
+            ).astype(jnp.uint8)
+            gray_padded = gray_flat.reshape(pad_shape)
+        else:
+            board = warp_ops.frame_to_board(frame, self.dg)
+            squares_padded = warp_ops.extract_squares(board, self.dg)
+            gray_padded = bgr2gray(squares_padded)
         return gaussian_blur_valid(gray_padded, 5)  # (64, H, W)
 
     def _step_impl(
@@ -135,6 +172,9 @@ class VisionPipeline:
             s2c_given,
             use_smoothing=use_smoothing,
             use_delta=use_delta,
+            hough_backend=self.hough_backend,
+            conv_plan=self.conv_plan,
+            conv_dims=self.conv_dims,
         )
 
         if self.with_change:
@@ -178,6 +218,8 @@ class VisionPipeline:
         """Set visual references from a frame (reference capture_reference,
         game_session.py:93-111: update_references on the piece detector;
         calibrates the change model too)."""
+        if isinstance(frame, np.ndarray) and frame.ndim == 3 and frame.shape[-1] == 3:
+            frame = sr.to_planar(frame)
         gray = self._preprocess_j(jnp.asarray(frame))
         piece = pd_model.update_references(state.piece, gray)
         change = change_ops.calibrate(gray, self.initial_variance)
@@ -193,7 +235,13 @@ class VisionPipeline:
         use_delta: bool = True,
     ):
         """Process one frame. squares_to_check: optional set of (file, rank);
-        refresh_refs forces a visual re-reference from this frame first."""
+        refresh_refs forces a visual re-reference from this frame first.
+
+        Host numpy frames in camera HWC layout are converted to the planar
+        (3, H, W) fast-path layout before upload; device arrays are used
+        as-is (pass planar for the fast path)."""
+        if isinstance(frame, np.ndarray) and frame.ndim == 3 and frame.shape[-1] == 3:
+            frame = sr.to_planar(frame)
         if squares_to_check is None:
             s2c_mask = jnp.zeros((64,), bool)
             s2c_given = jnp.asarray(False)

@@ -116,24 +116,38 @@ def _vote(edges, dx, dy, p: HoughParams, b: HoughBounds, dp: float):
     rmin = p.min_radius[:, None, None]
     rmax = p.max_radius[:, None, None]
 
-    def body(i, acc):
-        r = b.r_lo + i
-        in_range = (r >= rmin) & (r <= rmax)
-        both = []
-        for sgn in (1, -1):
-            x2 = (x0 + sgn * r * sx) >> _SHIFT
-            y2 = (y0 + sgn * r * sy) >> _SHIFT
-            inb = (x2 >= 0) & (x2 < acols) & (y2 >= 0) & (y2 < arows)
-            valid = voter & in_range & inb
-            flat = (y2 + 1) * acw + (x2 + 1)
-            flat = jnp.clip(flat, 0, flat_cells - 1)
-            both.append((flat.reshape(n_sq, -1), valid.reshape(n_sq, -1)))
-        idx = jnp.concatenate([b[0] for b in both], axis=1)
-        val = jnp.concatenate([b[1] for b in both], axis=1).astype(jnp.int32)
-        return acc.at[jnp.arange(n_sq)[:, None], idx].add(val)
+    # One vmapped 1-D scatter-add per radius chunk. NB: the vmap-of-1D form
+    # lowers to a batched scatter the TPU executes efficiently; a 2-D
+    # `.at[iota[:, None], idx].add` form is ~30x slower (generic scatter).
+    n_radii = b.r_hi - b.r_lo + 1
+    chunk = 8  # radii per scatter: memory (64 x 2*chunk*H*W i32) vs call count
+
+    def scatter_chunk(acc_1d, idx_1d, val_1d):
+        return acc_1d.at[idx_1d].add(val_1d)
+
+    scatter_b = jax.vmap(scatter_chunk)
+
+    def body(ci, acc):
+        targets = []
+        valids = []
+        for j in range(chunk):
+            r = b.r_lo + ci * chunk + j
+            in_range = (r >= rmin) & (r <= rmax) & (r <= b.r_hi)
+            for sgn in (1, -1):
+                x2 = (x0 + sgn * r * sx) >> _SHIFT
+                y2 = (y0 + sgn * r * sy) >> _SHIFT
+                inb = (x2 >= 0) & (x2 < acols) & (y2 >= 0) & (y2 < arows)
+                valid = voter & in_range & inb
+                flat = jnp.clip((y2 + 1) * acw + (x2 + 1), 0, flat_cells - 1)
+                targets.append(flat.reshape(n_sq, -1))
+                valids.append(valid.reshape(n_sq, -1))
+        idx = jnp.concatenate(targets, axis=1)
+        val = jnp.concatenate(valids, axis=1).astype(jnp.int32)
+        return scatter_b(acc, idx, val)
 
     acc = jnp.zeros((n_sq, flat_cells), jnp.int32)
-    acc = jax.lax.fori_loop(0, b.r_hi - b.r_lo + 1, body, acc)
+    n_chunks = (n_radii + chunk - 1) // chunk
+    acc = jax.lax.fori_loop(0, n_chunks, body, acc)
     return acc.reshape(n_sq, b.acc_h, acw)
 
 

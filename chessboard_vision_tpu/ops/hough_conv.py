@@ -1,0 +1,221 @@
+"""MXU circle detection: gradient-weighted annular correlation.
+
+The TPU-fast backend for the Hough stage. XLA lowers per-element scatters
+to a serialized loop on TPU (~7 ns/vote — the exact voting transform costs
+~600 ms/frame at 1080p), so the fast path reformulates HOUGH_GRADIENT's
+geometry as convolutions the MXU executes in ~1 ms:
+
+An edge pixel p with unit gradient g votes for centers c with |p-c| ~ r
+and (p-c) parallel to g. Relaxing the parallel constraint to a cos^2
+weighting makes the vote separable:
+
+  (g . u)^2 = gx^2 ux^2 + 2 gx gy ux uy + gy^2 uy^2,   u = (c-p)/|c-p|
+
+so  score(c, r) = sum_p edge(p) (g.u)^2 [| |c-p| - r | <= delta]
+              = conv(e*gx^2, K1_r) + conv(e*2*gx*gy, K2_r) + conv(e*gy^2, K3_r)
+
+with static ring kernels K1=ux^2, K2=ux*uy, K3=uy^2 on the annulus. Three
+batched convolutions over (64 squares, radii) on the MXU replace 84M
+scattered votes. Output is restricted to the center window the reference
+cascade actually inspects (piece_detector.py:249-256: centers within 30%
+of the square center).
+
+Decision thresholds are calibrated against the exact backend
+(ops/hough.py) on fixtures — see tests/test_hough_conv.py. Both backends
+expose the same interface; models select via the backend seam
+(the reference's Cython-else-Python alias pattern, frame_enhancer.py:184).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from chessboard_vision_tpu.ops.canny import canny
+from chessboard_vision_tpu.ops.filters import sobel3
+
+
+class ConvHoughDims(NamedTuple):
+    """Static (python-int) shape parameters — passed as a static jit arg."""
+
+    ksize: int
+    win_h: int
+    win_w: int
+    pad: int
+    downsample: int
+
+
+class ConvHoughPlan(NamedTuple):
+    """Device constants for the conv circle search (paired with ConvHoughDims)."""
+
+    kernels: jnp.ndarray  # (3, R, K, K) f32 ring kernels (ux^2, ux*uy, uy^2)
+    radii: jnp.ndarray  # (R,) f32 bin center radii
+    r_valid: jnp.ndarray  # (64, R) bool — radius inside square's [minR,maxR]
+    win_offset_y: jnp.ndarray  # (64,) i32 window top in square coords
+    win_offset_x: jnp.ndarray  # (64,) i32
+    win_mask: jnp.ndarray  # (64, Wy, Wx) bool — centers within 30% of center
+
+    @classmethod
+    def build(
+        cls,
+        heights,
+        widths,
+        min_ratio: float = 0.20,
+        max_ratio: float = 0.55,
+        r_step: float = 2.0,
+        delta: float = 1.4,
+        center_window: float = 0.3,
+        downsample: int = 2,
+    ):
+        """Kernels and windows live in accumulator space: the F planes are
+        sum-pooled by ``downsample`` (the dp analog — cv2 uses dp=1.2), so
+        ring kernels shrink by the same factor and the conv cost drops
+        ~downsample^4. Radii/coordinates reported back in full resolution."""
+        heights = np.asarray(heights)
+        widths = np.asarray(widths)
+        q = downsample
+        min_dim = np.minimum(heights, widths)
+        minR = (min_dim * min_ratio).astype(np.int64)
+        maxR = (min_dim * max_ratio).astype(np.int64)
+        r_lo, r_hi = int(minR.min()), int(maxR.max())
+        radii = np.arange(r_lo, r_hi + 1, r_step, dtype=np.float64)
+        R = len(radii)
+
+        r_hi_ds = r_hi / q
+        K = 2 * (int(np.ceil(r_hi_ds + delta))) + 1
+        c = K // 2
+        yy, xx = np.mgrid[:K, :K]
+        dy = (yy - c).astype(np.float64)
+        dx = (xx - c).astype(np.float64)
+        dist = np.sqrt(dy * dy + dx * dx)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ux = np.where(dist > 0, dx / dist, 0.0)
+            uy = np.where(dist > 0, dy / dist, 0.0)
+        kernels = np.zeros((3, R, K, K), np.float32)
+        for i, r in enumerate(radii):
+            ring = (np.abs(dist - r / q) <= delta) & (dist > 0)
+            kernels[0, i] = (ring * ux * ux).astype(np.float32)
+            kernels[1, i] = (ring * ux * uy).astype(np.float32)
+            kernels[2, i] = (ring * uy * uy).astype(np.float32)
+
+        r_valid = (radii[None, :] >= minR[:, None]) & (radii[None, :] <= maxR[:, None])
+
+        # Center window (accumulator units): 30% of min_dim around center.
+        win = (min_dim * center_window / q).astype(np.int64)
+        Wy = int(2 * win.max() + 1)
+        Wx = Wy
+        cy_ds = (heights // 2) // q
+        cx_ds = (widths // 2) // q
+        woy = (cy_ds - win).astype(np.int64)
+        wox = (cx_ds - win).astype(np.int64)
+        mask = np.zeros((64, Wy, Wx), bool)
+        for s in range(64):
+            ys = woy[s] + np.arange(Wy)
+            xs = wox[s] + np.arange(Wx)
+            d = np.sqrt(
+                (ys[:, None] - cy_ds[s]) ** 2.0 + (xs[None, :] - cx_ds[s]) ** 2.0
+            )
+            inb = (
+                (ys[:, None] >= 0)
+                & (ys[:, None] < heights[s] // q)
+                & (xs[None, :] >= 0)
+                & (xs[None, :] < widths[s] // q)
+            )
+            mask[s] = (d < min_dim[s] * center_window / q) & inb
+        plan = cls(
+            kernels=jnp.asarray(kernels),
+            radii=jnp.asarray(radii.astype(np.float32)),
+            r_valid=jnp.asarray(r_valid),
+            win_offset_y=jnp.asarray(woy.astype(np.int32)),
+            win_offset_x=jnp.asarray(wox.astype(np.int32)),
+            win_mask=jnp.asarray(mask),
+        )
+        dims = ConvHoughDims(ksize=K, win_h=Wy, win_w=Wx, pad=c, downsample=q)
+        return plan, dims
+
+
+class ConvCircle(NamedTuple):
+    found: jnp.ndarray  # (64,) bool
+    cx: jnp.ndarray  # (64,) f32
+    cy: jnp.ndarray  # (64,) f32
+    radius: jnp.ndarray  # (64,) i32
+    score: jnp.ndarray  # (64,) f32 peak annular support
+
+
+@partial(jax.jit, static_argnames=("dims", "param1", "score_threshold"))
+def find_circle(
+    gray: jnp.ndarray,
+    plan: ConvHoughPlan,
+    dims: ConvHoughDims,
+    param1: int = 100,
+    score_threshold: float = 60.0,
+) -> ConvCircle:
+    """Best circle near each square's center. gray: (64, H, W) u8 pre-blurred.
+
+    score_threshold is the calibrated stand-in for cv2's param2 (=25 votes);
+    the cos^2-weighted annular support of a real circle is slightly below
+    its cv2 vote count, hence the default 60 sits mid-gap between real-circle scores (>=116 on fixtures)
+    and non-circle scores (~0) — see tests/test_hough_conv.py.
+    """
+    n_sq, H, W = gray.shape
+    edges = canny(gray, max(param1 // 2, 1), param1)
+    dx, dy = sobel3(gray, border="reflect101")
+    gx = dx.astype(jnp.float32)
+    gy = dy.astype(jnp.float32)
+    mag2 = gx * gx + gy * gy
+    inv = jnp.where(mag2 > 0, jax.lax.rsqrt(jnp.maximum(mag2, 1e-12)), 0.0)
+    e = edges.astype(jnp.float32)
+    gxn = gx * inv
+    gyn = gy * inv
+    planes = jnp.stack([e * gxn * gxn, e * 2.0 * gxn * gyn, e * gyn * gyn], axis=1)
+
+    # Sum-pool to accumulator resolution (vote mass preserved).
+    q = dims.downsample
+    if q > 1:
+        Hq, Wq = (H // q) * q, (W // q) * q
+        planes = planes[:, :, :Hq, :Wq].reshape(
+            n_sq, 3, Hq // q, q, Wq // q, q
+        ).sum((3, 5))
+
+    R = plan.kernels.shape[1]
+    pad = dims.pad
+
+    # One conv: the 3 quadratic-gradient planes are in-channels, radii are
+    # out-channels; the channel contraction performs the K1+K2+K3 sum.
+    score = jax.lax.conv_general_dilated(
+        planes,  # (64, 3, H/q, W/q)
+        plan.kernels.transpose(1, 0, 2, 3),  # (R, 3, K, K)
+        window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )  # (64, R, H/q, W/q)
+
+    # Restrict to each square's center window (per-square dynamic_slice;
+    # offsets are device constants, windows small).
+    Wy, Wx = dims.win_h, dims.win_w
+
+    def take_window(sc, oy, ox):
+        return jax.lax.dynamic_slice(sc, (0, oy, ox), (R, Wy, Wx))
+
+    win = jax.vmap(take_window)(score, plan.win_offset_y, plan.win_offset_x)
+    valid = plan.r_valid[:, :, None, None] & plan.win_mask[:, None]
+    win = jnp.where(valid, win, -jnp.inf)
+
+    flat = win.reshape(n_sq, -1)
+    best = jnp.argmax(flat, axis=-1)
+    best_score = jnp.take_along_axis(flat, best[:, None], axis=-1)[:, 0]
+    ri = best // (Wy * Wx)
+    rest = best % (Wy * Wx)
+    by = rest // Wx
+    bx = rest % Wx
+    # Map accumulator cells back to full-resolution pixel coords (cell center).
+    cy = ((plan.win_offset_y + by).astype(jnp.float32) + 0.5) * q
+    cx = ((plan.win_offset_x + bx).astype(jnp.float32) + 0.5) * q
+    radius = jnp.round(plan.radii[ri]).astype(jnp.int32)
+    found = best_score >= score_threshold
+    return ConvCircle(found=found, cx=cx, cy=cy, radius=radius, score=best_score)

@@ -20,6 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from chessboard_vision_tpu.ops import hough as hough_ops
+from chessboard_vision_tpu.ops import hough_conv as hough_conv_ops
 
 METHOD_NONE, METHOD_HOUGH, METHOD_TOWER_TOP, METHOD_CENTER_DIFF, METHOD_SYMMETRY = range(5)
 METHOD_NAMES = [None, "hough", "tower_top", "center_diff", "symmetry"]
@@ -108,10 +109,17 @@ def detect_pieces(
     circle_threshold: float = 0.6,
     hough_param1: int = 100,
     hough_param2: int = 25,
+    hough_backend: str = "exact",
+    conv_plan: hough_conv_ops.ConvHoughPlan = None,
+    conv_dims: hough_conv_ops.ConvHoughDims = None,
+    conv_score_threshold: float = 60.0,
 ) -> PieceDetections:
     """Raw per-square cascade on preprocessed (blurred gray) squares.
 
     gray: (64, H, W) u8 — the _preprocess output (bgr2gray + gaussian 5x5).
+    hough_backend: 'exact' = the cv2-faithful voting transform (fast on
+    CPU, serialized-scatter-bound on TPU); 'conv' = the MXU annular-
+    correlation detector (ops/hough_conv.py), decision-calibrated.
     """
     gf = gray.astype(jnp.float32)
     v = masks.valid
@@ -124,12 +132,21 @@ def detect_pieces(
     std_ok = std >= std_threshold
 
     # Method 1: Hough circles (unified large/small).
-    circles = hough_ops.hough_circles(
-        gray, hough_params, hough_bounds, param1=hough_param1, param2=hough_param2
-    )
-    h_found, h_cx, h_cy, h_r, h_small = hough_ops.best_circle_near_center(
-        circles, masks.heights, masks.widths
-    )
+    if hough_backend == "conv":
+        cc = hough_conv_ops.find_circle(
+            gray, conv_plan, conv_dims,
+            param1=hough_param1, score_threshold=conv_score_threshold,
+        )
+        min_dim_f = jnp.minimum(masks.heights, masks.widths).astype(jnp.float32)
+        h_found, h_cx, h_cy, h_r = cc.found, cc.cx, cc.cy, cc.radius
+        h_small = h_r.astype(jnp.float32) < min_dim_f * 0.20
+    else:
+        circles = hough_ops.hough_circles(
+            gray, hough_params, hough_bounds, param1=hough_param1, param2=hough_param2
+        )
+        h_found, h_cx, h_cy, h_r, h_small = hough_ops.best_circle_near_center(
+            circles, masks.heights, masks.widths
+        )
 
     # Method 2: center vs corner-border intensity difference.
     center_mean = _masked_mean(gf, masks.center_disk, masks.center_counts)

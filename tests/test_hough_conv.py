@@ -1,0 +1,60 @@
+"""Conv (MXU) circle-detector backend: decision agreement vs the exact
+voting backend. Small square sizes keep the CPU conv cheap; the full-scale
+calibration (64x77 and 1080p squares, threshold=60) runs on TPU — results
+recorded in ops/hough_conv.py docstrings."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from chessboard_vision_tpu.ops import hough as hough_ops
+from chessboard_vision_tpu.ops import hough_conv as hc
+
+from fixtures import make_square
+
+
+def test_conv_backend_agrees_with_exact(rng):
+    size = 48
+    h = np.full(64, size)
+    params, bounds = hough_ops.HoughParams.from_geometry(h, h)
+    plan, dims = hc.ConvHoughPlan.build(h, h)
+
+    imgs = []
+    for i in range(64):
+        if i % 4 == 3:
+            imgs.append(make_square(rng, radius=None, noise=int(rng.integers(1, 10)), size=size))
+        else:
+            imgs.append(
+                make_square(
+                    rng,
+                    radius=int(rng.integers(11, 24)),
+                    contrast=int(rng.integers(45, 110)),
+                    noise=int(rng.integers(2, 10)),
+                    off=(int(rng.integers(-5, 6)), int(rng.integers(-5, 6))),
+                    size=size,
+                )
+            )
+    imgs = jnp.asarray(np.stack(imgs))
+
+    circ = hough_ops.hough_circles(imgs, params, bounds)
+    ef, _, _, _, _ = hough_ops.best_circle_near_center(
+        circ, jnp.full((64,), size), jnp.full((64,), size)
+    )
+    cc = hc.find_circle(imgs, plan, dims, score_threshold=35.0)
+    agree = (np.asarray(cc.found) == np.asarray(ef)).sum()
+    assert agree >= 58, f"conv-vs-exact agreement {agree}/64"
+
+
+def test_conv_scores_separate_cleanly(rng):
+    size = 48
+    h = np.full(64, size)
+    plan, dims = hc.ConvHoughPlan.build(h, h)
+    clean = np.stack(
+        [make_square(rng, radius=16, contrast=90, noise=3, size=size) for _ in range(32)]
+        + [make_square(rng, radius=None, noise=3, size=size) for _ in range(32)]
+    )
+    cc = hc.find_circle(jnp.asarray(clean), plan, dims, score_threshold=35.0)
+    scores = np.asarray(cc.score)
+    assert scores[:32].min() > 50  # strong circles
+    assert scores[32:].max() < 30  # flat squares
+    found = np.asarray(cc.found)
+    assert found[:32].all() and not found[32:].any()

@@ -1,0 +1,111 @@
+"""Tests: device noise FSM (differential vs host NoiseHandler), batched
+multi-stream pipeline, and mesh sharding over the 8 virtual CPU devices."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from chessboard_vision_tpu.ops import fsm as fsm_ops
+from chessboard_vision_tpu.session.noise import NoiseHandler, NoiseState
+from chessboard_vision_tpu.parallel import make_mesh, MultiStreamPipeline
+from chessboard_vision_tpu.parallel.mesh import stream_sharding
+from chessboard_vision_tpu import geometry as geo
+from chessboard_vision_tpu.models.pipeline import occupancy_to_set
+
+from fixtures import make_board_frame, initial_occupancy, DEFAULT_CORNERS
+
+MODE_OF = {
+    NoiseState.IDLE: fsm_ops.MODE_IDLE,
+    NoiseState.NOISE_ACTIVE: fsm_ops.MODE_NOISE,
+    NoiseState.MOVE_PENDING: fsm_ops.MODE_PENDING,
+}
+
+
+def mask_of(squares):
+    m = np.zeros(64, bool)
+    for f, r in squares:
+        m[r * 8 + f] = True
+    return m
+
+
+class TestDeviceNoiseFsm:
+    def test_differential_vs_host_random_sequences(self, rng):
+        """Drive both FSMs with 300 random change-sets; states must agree."""
+        step = jax.jit(fsm_ops.noise_step)
+        for trial in range(4):
+            host = NoiseHandler()
+            dev = fsm_ops.init_state()
+            for t in range(300):
+                k = rng.integers(0, 10)
+                if k < 4:
+                    changed = set()
+                elif k < 7:
+                    n = int(rng.integers(1, 4))
+                    changed = {(int(rng.integers(0, 8)), int(rng.integers(0, 8))) for _ in range(n)}
+                else:
+                    n = int(rng.integers(4, 10))
+                    changed = {(int(rng.integers(0, 8)), int(rng.integers(0, 8))) for _ in range(n)}
+                h_state, h_data = host.process(changed)
+                dev, out = step(dev, jnp.asarray(mask_of(changed)))
+                assert int(dev.mode) == MODE_OF[host.state], f"trial {trial} t {t}"
+                assert int(dev.stable_count) == host.stable_count
+                h_fired = h_data.get("stable", False) or h_data.get("message") == "move_ready"
+                assert bool(out.stable) == bool(h_fired), (trial, t, h_data)
+                if h_fired:
+                    got = {(s % 8, s // 8) for s in np.where(np.asarray(out.squares))[0]}
+                    assert got == h_data["squares"]
+
+    def test_lifted_tracking(self):
+        dev = fsm_ops.init_state()
+        dev, out = fsm_ops.noise_step(dev, jnp.asarray(mask_of({(4, 1)})))
+        assert int(out.lifted) == 1 * 8 + 4
+        dev, out = fsm_ops.noise_step(dev, jnp.asarray(mask_of({(4, 1), (4, 3)})))
+        assert int(out.lifted) == -1
+
+
+class TestMultiStream:
+    def test_batched_streams_match_singles(self, rng):
+        """4 streams with different positions; batched outputs equal the
+        single-stream pipeline run on each."""
+        g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
+        n = 4
+        ms = MultiStreamPipeline(g, n_streams=n)
+        state = ms.init_state()
+
+        occs = []
+        frames0 = []
+        for i in range(n):
+            occ = initial_occupancy()
+            if i % 2:
+                occ[4, 1] = False
+                occ[4, 3] = True
+            occs.append(occ)
+            frames0.append(make_board_frame(occ, rng))
+        frames0 = np.stack(frames0)
+        state = ms.capture_reference(state, frames0)
+
+        frames1 = np.stack([make_board_frame(occ, rng) for occ in occs])
+        state, out = ms.step(state, frames1)
+        for i in range(n):
+            truth = {(f, r) for f in range(8) for r in range(8) if occs[i][f, r]}
+            assert occupancy_to_set(np.asarray(out.step.occupancy[i])) == truth, i
+
+    def test_sharded_over_virtual_mesh(self, rng):
+        """Same batched tick with the stream axis sharded over 8 CPU devices."""
+        assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+        mesh = make_mesh(8, ("data",))
+        g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
+        n = 8
+        ms = MultiStreamPipeline(g, n_streams=n, mesh=mesh)
+        state = ms.init_state()
+        occ = initial_occupancy()
+        frames = np.stack([make_board_frame(occ, rng) for _ in range(n)])
+        state = ms.capture_reference(state, frames)
+        state, out = ms.step(state, frames)
+        occ_out = np.asarray(out.step.occupancy)
+        truth = {(f, r) for f in range(8) for r in range(8) if occ[f, r]}
+        for i in range(n):
+            assert occupancy_to_set(occ_out[i]) == truth
+        # the stream axis really is sharded
+        shard_devs = {d for s in jax.tree.leaves(state.pipe)[0].addressable_shards for d in [s.device]}
+        assert len(shard_devs) == 8
