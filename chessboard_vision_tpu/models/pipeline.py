@@ -31,6 +31,7 @@ from chessboard_vision_tpu.ops import piece as piece_ops
 from chessboard_vision_tpu.ops.color import bgr2gray
 from chessboard_vision_tpu.ops.filters import gaussian_blur_valid
 from chessboard_vision_tpu.ops import static_resample as sr
+from chessboard_vision_tpu.ops import matmul_resample as mr
 from chessboard_vision_tpu.models import piece_detector as pd_model
 
 
@@ -99,7 +100,7 @@ class VisionPipeline:
             self.conv_plan, self.conv_dims = None, None
         self._pad = geometry.squares.pad
         qx, qy = geometry.square_query_coords()
-        self._plan = sr.ResamplePlan.build(qx, qy, geometry.src_h, geometry.src_w)
+        self._mm_plan, self._mm_dims = mr.build_plan(qx, qy, geometry.src_h, geometry.src_w)
 
         self.with_change = with_change_detector
         cs = change_settings or {}
@@ -120,20 +121,18 @@ class VisionPipeline:
     def _preprocess(self, frame: jnp.ndarray) -> jnp.ndarray:
         """frame -> preprocessed gray squares (64, H, W) u8.
 
-        Accepts (3, Hf, Wf) planar u8 (the TPU-native frame layout — fast
-        static-resample path, no gathers) or (Hf, Wf, 3) HWC (slow XLA-
-        gather path kept for parity tests / odd layouts). Both paths are
-        bit-identical: per-channel bilinear, u8 round, exact fixed-point
-        gray, valid-mode blur over the baked-in reflect borders.
+        Accepts (3, Hf, Wf) planar u8 (the TPU-native frame layout — MXU
+        matmul-resample path, gray-first) or (Hf, Wf, 3) HWC (XLA-gather
+        path, bit-exact channel-wise warp for the oracle parity tests).
+        Gray conversion is linear, so the two differ only by per-channel
+        u8 rounding order (<=1 intensity level; decisions unaffected).
         """
-        pad_shape = (64, self.H + 2 * self._pad, self.W + 2 * self._pad)
         if frame.ndim == 3 and frame.shape[0] == 3:
-            b, g, r = sr.resample_bgr(frame, self._plan, self.geometry.src_w)
-            x = jnp.stack([b, g, r]).astype(jnp.int32)
-            gray_flat = (
+            x = frame.astype(jnp.int32)
+            gray_frame = (
                 (x[2] * 9798 + x[1] * 19235 + x[0] * 3735 + (1 << 14)) >> 15
             ).astype(jnp.uint8)
-            gray_padded = gray_flat.reshape(pad_shape)
+            gray_padded = mr.resample_gray_u8(gray_frame, self._mm_plan, self._mm_dims)
         else:
             board = warp_ops.frame_to_board(frame, self.dg)
             squares_padded = warp_ops.extract_squares(board, self.dg)

@@ -1,0 +1,169 @@
+"""MXU bilinear resampling: warp + square extraction as banded matmuls.
+
+The third (and fastest) implementation of the static warp. TPU XLA
+serializes both gathers (~14 ns/elt) and scatters (~7 ns/elt), so neither
+the direct gather nor the scatter/unpermute trick (ops/static_resample)
+reaches the frame-rate target. This formulation uses only matmuls,
+elementwise ops, and static slices:
+
+  0. Static per-square source regions (python-loop lax.slice — the region
+     rectangles are calibration constants).
+  1. Row-select matmul: a one-hot (vertical-band) matrix pulls, for every
+     (square, output-row), the B consecutive source rows its samples touch.
+  2. Column-weight matmul: per (square, output-row), a two-banded weight
+     matrix performs the horizontal lerp.
+  3. An elementwise vertical lerp over the B band rows finishes bilinear.
+
+All selection matrices are built on the fly from compact static index
+arrays (compare-with-iota), so nothing big lives in the executable. The
+fast path samples the *grayscale* frame (gray conversion is linear, so
+this equals channel-wise warping up to per-channel u8 rounding — <=1
+intensity level vs the 'exact' HWC path, which keeps bit parity for the
+oracle tests).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+class MatmulResamplePlan(NamedTuple):
+    """Device constants (compact static index/weight arrays)."""
+
+    row_base: jnp.ndarray  # (64, Qr) i32 band start row (region-local)
+    col_ix: jnp.ndarray  # (64, Qr, Qc) i32 left source col (region-local)
+    fx: jnp.ndarray  # (64, Qr, Qc) f32
+    fy: jnp.ndarray  # (64, Qr, Qc) f32
+    uy_off: jnp.ndarray  # (64, Qr, Qc) i32 floor-row offset within band
+    zero_mask: jnp.ndarray  # (64, Qr, Qc) bool -> output forced 0
+
+
+class MatmulResampleDims(NamedTuple):
+    q_rows: int
+    q_cols: int
+    band: int  # B: band rows per output row (incl. +1 tap)
+    region_h: int  # RH
+    region_w: int  # RW
+    src_h: int
+    src_w: int
+    ry0: Tuple[int, ...]  # (64,) region row starts (static)
+    rx0: Tuple[int, ...]  # (64,) region col starts (static)
+
+
+def build_plan(qx: np.ndarray, qy: np.ndarray, src_h: int, src_w: int):
+    """qx/qy: (64, Qr, Qc) f32 source coords per padded-square pixel."""
+    qx = np.asarray(qx, np.float32)
+    qy = np.asarray(qy, np.float32)
+    n_sq, Qr, Qc = qx.shape
+    ix = np.floor(qx).astype(np.int64)
+    iy = np.floor(qy).astype(np.int64)
+    fx = (qx - ix).astype(np.float32)
+    fy = (qy - iy).astype(np.float32)
+
+    # Out-of-source anchors produce 0 (interior calibrations never hit this).
+    bad = (ix < 0) | (ix + 1 >= src_w) | (iy < 0) | (iy + 1 >= src_h)
+    big = np.iinfo(np.int64).max
+
+    # Per-square source regions.
+    iy_v = np.where(bad, big, iy)
+    ix_v = np.where(bad, big, ix)
+    ry_min = np.minimum(iy_v.min(axis=(1, 2)), src_h - 2)
+    ry_max = np.maximum(np.where(bad, -1, iy).max(axis=(1, 2)) + 1, 1)
+    rx_min = np.minimum(ix_v.min(axis=(1, 2)), src_w - 2)
+    rx_max = np.maximum(np.where(bad, -1, ix).max(axis=(1, 2)) + 1, 1)
+    RH = int(_round_up(int((ry_max - ry_min).max()) + 2, 8))
+    RW = int(_round_up(int((rx_max - rx_min).max()) + 2, 128))
+    RH = min(RH, src_h)
+    RW = min(RW, src_w)
+    ry0 = np.clip(ry_min, 0, src_h - RH)
+    rx0 = np.clip(rx_min, 0, src_w - RW)
+
+    # Vertical band per (square, out-row), region-local.
+    iy_loc = iy - ry0[:, None, None]
+    row_min = np.where(bad, big, iy_loc).min(axis=2)
+    row_min = np.clip(row_min, 0, RH - 2)
+    B = int(np.where(bad, 0, iy_loc - row_min[:, :, None]).max()) + 2
+    row_base = np.clip(row_min, 0, RH - B)
+    uy_off = np.clip(np.where(bad, 0, iy_loc - row_base[:, :, None]), 0, B - 2)
+
+    ix_loc = np.clip(ix - rx0[:, None, None], 0, RW - 2)
+    ix_loc = np.where(bad, 0, ix_loc)
+
+    plan = MatmulResamplePlan(
+        row_base=jnp.asarray(row_base.astype(np.int32)),
+        col_ix=jnp.asarray(ix_loc.astype(np.int32)),
+        fx=jnp.asarray(fx),
+        fy=jnp.asarray(fy),
+        uy_off=jnp.asarray(uy_off.astype(np.int32)),
+        zero_mask=jnp.asarray(bad),
+    )
+    dims = MatmulResampleDims(
+        q_rows=Qr,
+        q_cols=Qc,
+        band=B,
+        region_h=RH,
+        region_w=RW,
+        src_h=src_h,
+        src_w=src_w,
+        ry0=tuple(int(v) for v in ry0),
+        rx0=tuple(int(v) for v in rx0),
+    )
+    return plan, dims
+
+
+def resample(gray: jnp.ndarray, plan: MatmulResamplePlan, dims: MatmulResampleDims):
+    """gray: (src_h, src_w) u8/f32 -> (64, Qr, Qc) f32 bilinear samples."""
+    n_sq, Qr, Qc = plan.fx.shape
+    B, RH, RW = dims.band, dims.region_h, dims.region_w
+    gf = gray.astype(jnp.float32)
+
+    # 0. Static region slices (calibration constants -> plain lax.slice).
+    regions = jnp.stack(
+        [
+            jax.lax.slice(gf, (dims.ry0[s], dims.rx0[s]), (dims.ry0[s] + RH, dims.rx0[s] + RW))
+            for s in range(n_sq)
+        ]
+    )  # (64, RH, RW)
+
+    # 1. Row-select matmul: Band[s, (j,b), v] = regions[s, row_base[s,j]+b, v]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, Qr, B, RH), 3)
+    want = plan.row_base[:, :, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (n_sq, Qr, B, RH), 2
+    )
+    rowsel = (rows_iota == want).astype(jnp.float32).reshape(n_sq, Qr * B, RH)
+    band = jax.lax.dot_general(
+        rowsel, regions, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).reshape(n_sq, Qr, B, RW)
+
+    # 2. Column-weight matmul (horizontal lerp).
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, Qr, RW, Qc), 2)
+    ci = plan.col_ix[:, :, None, :]
+    fxw = plan.fx[:, :, None, :]
+    colw = jnp.where(v_iota == ci, 1.0 - fxw, 0.0) + jnp.where(v_iota == ci + 1, fxw, 0.0)
+    g = jax.lax.dot_general(
+        band.reshape(n_sq * Qr, B, RW),
+        colw.reshape(n_sq * Qr, RW, Qc),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(n_sq, Qr, B, Qc)
+
+    # 3. Vertical lerp over the band rows.
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, Qr, B, Qc), 2)
+    uy = plan.uy_off[:, :, None, :]
+    fyw = plan.fy[:, :, None, :]
+    wv = jnp.where(b_iota == uy, 1.0 - fyw, 0.0) + jnp.where(b_iota == uy + 1, fyw, 0.0)
+    out = jnp.sum(g * wv, axis=2)
+    return jnp.where(plan.zero_mask, 0.0, out)
+
+
+def resample_gray_u8(gray_frame: jnp.ndarray, plan, dims) -> jnp.ndarray:
+    """u8 output with the pipeline's round-clip convention."""
+    return jnp.clip(jnp.round(resample(gray_frame, plan, dims)), 0, 255).astype(jnp.uint8)

@@ -1,0 +1,105 @@
+"""Play on Lichess from a physical board (the main driver).
+
+Equivalent of reference play_lichess.py: camera init, calibration phase,
+Lichess connect, frame loop with skipping, 'c' re-captures the reference.
+When the native runtime is available, capture runs on its own thread
+through the SPSC frame ring (drop-oldest), decoupling camera jitter from
+the pipeline tick.
+
+Run: python -m chessboard_vision_tpu.tools.play_lichess
+"""
+
+from __future__ import annotations
+
+import argparse
+import threading
+
+import numpy as np
+
+from chessboard_vision_tpu.session.lichess_session import LichessSession
+from chessboard_vision_tpu import native
+
+CAMERA_ID = 0
+WIDTH, HEIGHT = 1280, 720
+SKIP_FRAMES = 2
+
+
+def main(argv=None):
+    import cv2
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--camera", type=int, default=CAMERA_ID)
+    ap.add_argument("--no-ring", action="store_true", help="poll camera inline")
+    args = ap.parse_args(argv)
+
+    cap = cv2.VideoCapture(args.camera)
+    cap.set(3, WIDTH)
+    cap.set(4, HEIGHT)
+    if not cap.isOpened():
+        print("failed to open camera")
+        return 1
+
+    session = LichessSession()
+    if not session.on_calibration_requested(cap):
+        print("calibration cancelled")
+        cap.release()
+        return 1
+    if not session.connect_and_setup():
+        cap.release()
+        return 1
+
+    print(f"playing as: {session.my_color or 'awaiting stream...'}")
+    print("'q' quits, 'c' re-captures the visual reference\n")
+
+    use_ring = native.AVAILABLE and not args.no_ring
+    ring = None
+    stop = threading.Event()
+    if use_ring:
+        ring = native.FrameRing((HEIGHT, WIDTH, 3), n_slots=4)
+
+        def capture_loop():
+            while not stop.is_set():
+                ok, img = cap.read()
+                if ok:
+                    ring.push(np.ascontiguousarray(img))
+
+        threading.Thread(target=capture_loop, daemon=True).start()
+
+    frame_count = 0
+    try:
+        while not session.stop_event.is_set():
+            if use_ring:
+                ring.skip_to_latest()
+                seq, img = ring.pop()
+                if not seq:
+                    continue
+            else:
+                ok, img = cap.read()
+                if not ok:
+                    break
+                frame_count += 1
+                if SKIP_FRAMES > 1 and frame_count % SKIP_FRAMES != 0:
+                    cv2.imshow("Camera", img)
+                    if cv2.waitKey(1) & 0xFF == ord("q"):
+                        break
+                    continue
+
+            session.on_frame(img)
+            key = cv2.waitKey(1) & 0xFF
+            if key == ord("q"):
+                break
+            if key == ord("c"):
+                print("[re-reference]")
+                session.capture_reference_frame(img)
+    finally:
+        stop.set()
+        session.on_exit()
+        cap.release()
+        cv2.destroyAllWindows()
+        if ring:
+            ring.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

