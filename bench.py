@@ -97,23 +97,51 @@ def main():
     jax.block_until_ready(out)
     log(f"compile+first step: {time.time() - t0:.1f}s")
 
-    # steady state: frame -> occupancy -> FEN (host)
-    times = []
+    # steady state: frame -> occupancy -> FEN (host), with a depth-3
+    # readback pipeline: every frame's occupancy is transferred and turned
+    # into FEN, but the D2H completion is overlapped with later steps
+    # (bounded 3-frame latency — the stability gate needs 20 frames anyway).
+    DEPTH = 3
+    inflight = []
     fen = None
+    n_fens = 0
+    t_start = time.perf_counter()
     for i in range(iters):
-        t0 = time.perf_counter()
         state, out = pipe.step(state, frame_dev)
-        occ = np.asarray(out.occupancy)  # D2H sync point
+        try:
+            out.occupancy.copy_to_host_async()
+        except AttributeError:
+            pass
+        inflight.append(out.occupancy)
+        if len(inflight) > DEPTH:
+            occ = np.asarray(inflight.pop(0))
+            mask = np.zeros((8, 8), bool)
+            for f, r in occupancy_to_set(occ):
+                mask[f, r] = True
+            fen = occupancy_to_fen(mask)
+            n_fens += 1
+    for occ_dev in inflight:
+        occ = np.asarray(occ_dev)
         mask = np.zeros((8, 8), bool)
         for f, r in occupancy_to_set(occ):
             mask[f, r] = True
         fen = occupancy_to_fen(mask)
-        times.append(time.perf_counter() - t0)
-    times = np.asarray(times)
-    p50 = float(np.percentile(times, 50))
-    fps = 1.0 / p50
-    log(f"single-stream: p50 {p50 * 1e3:.2f} ms  p95 {np.percentile(times, 95) * 1e3:.2f} ms  "
+        n_fens += 1
+    wall = time.perf_counter() - t_start
+    per_frame = wall / iters
+    fps = 1.0 / per_frame
+    assert n_fens == iters
+    log(f"single-stream (pipelined depth {DEPTH}): {per_frame * 1e3:.2f} ms/frame  "
         f"fps {fps:.1f}  fen={fen.split()[0]}")
+
+    # strict per-frame sync latency (upper bound incl. host<->device RTT)
+    times = []
+    for i in range(min(20, iters)):
+        t0 = time.perf_counter()
+        state, out = pipe.step(state, frame_dev)
+        _ = np.asarray(out.occupancy)
+        times.append(time.perf_counter() - t0)
+    log(f"strict-sync latency: p50 {np.percentile(times, 50) * 1e3:.2f} ms")
 
     # secondary: batched streams on one chip
     try:
