@@ -47,6 +47,8 @@ class ConvHoughDims(NamedTuple):
     win_w: int
     pad: int
     downsample: int
+    woy: tuple  # (64,) static window row offsets (accumulator units)
+    wox: tuple  # (64,) static window col offsets
 
 
 class ConvHoughPlan(NamedTuple):
@@ -110,8 +112,10 @@ class ConvHoughPlan(NamedTuple):
         Wx = Wy
         cy_ds = (heights // 2) // q
         cx_ds = (widths // 2) // q
-        woy = (cy_ds - win).astype(np.int64)
-        wox = (cx_ds - win).astype(np.int64)
+        plane_h = heights // q
+        plane_w = widths // q
+        woy = np.clip(cy_ds - win, 0, np.maximum(plane_h - Wy, 0)).astype(np.int64)
+        wox = np.clip(cx_ds - win, 0, np.maximum(plane_w - Wx, 0)).astype(np.int64)
         mask = np.zeros((64, Wy, Wx), bool)
         for s in range(64):
             ys = woy[s] + np.arange(Wy)
@@ -134,7 +138,10 @@ class ConvHoughPlan(NamedTuple):
             win_offset_x=jnp.asarray(wox.astype(np.int32)),
             win_mask=jnp.asarray(mask),
         )
-        dims = ConvHoughDims(ksize=K, win_h=Wy, win_w=Wx, pad=c, downsample=q)
+        dims = ConvHoughDims(
+            ksize=K, win_h=Wy, win_w=Wx, pad=c, downsample=q,
+            woy=tuple(int(v) for v in woy), wox=tuple(int(v) for v in wox),
+        )
         return plan, dims
 
 
@@ -183,21 +190,22 @@ def find_circle(
 
     R = plan.kernels.shape[1]
     pad = dims.pad
+    Wy, Wx = dims.win_h, dims.win_w
 
-    # One conv: the 3 quadratic-gradient planes are in-channels, radii are
-    # out-channels; the channel contraction performs the K1+K2+K3 sum.
+    # One conv over the full (downsampled) planes: the 3 quadratic-gradient
+    # planes are in-channels, radii out-channels (the channel contraction
+    # performs the K1+K2+K3 sum). A window-restricted VALID variant (64
+    # per-square receptive-field slices) was measured SLOWER end-to-end —
+    # the slice/stack traffic outweighs the conv FLOP savings, especially
+    # under vmap in the batched pipeline.
     score = jax.lax.conv_general_dilated(
-        planes,  # (64, 3, H/q, W/q)
+        planes,
         plan.kernels.transpose(1, 0, 2, 3),  # (R, 3, K, K)
         window_strides=(1, 1),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
     )  # (64, R, H/q, W/q)
-
-    # Restrict to each square's center window (per-square dynamic_slice;
-    # offsets are device constants, windows small).
-    Wy, Wx = dims.win_h, dims.win_w
 
     def take_window(sc, oy, ox):
         return jax.lax.dynamic_slice(sc, (0, oy, ox), (R, Wy, Wx))
