@@ -17,18 +17,15 @@ CORNERS = np.array([[173, 133], [1100, 110], [150, 650], [1131, 680]])
 class TestHostResampler:
     def test_gray_matches_device_path(self, rng):
         import jax.numpy as jnp
-        from chessboard_vision_tpu.models.pipeline import VisionPipeline
+        from chessboard_vision_tpu.ops import static_resample as sr
 
         frame = rng.integers(0, 256, (720, 1280, 3), np.uint8)
         g = geo.BoardGeometry.from_calibration(CORNERS)
         qx, qy = g.square_query_coords()
         host = native.HostResampler(qx, qy, g.src_h, g.src_w)
 
-        pipe = VisionPipeline(g, hough_backend="exact")
-        # device preprocess includes the blur; compare pre-blur gray:
-        from chessboard_vision_tpu.ops import static_resample as sr
-
-        b, gg, r = sr.resample_bgr(jnp.asarray(sr.to_planar(frame)), pipe._plan, g.src_w)
+        plan = sr.ResamplePlan.build(qx, qy, g.src_h, g.src_w)
+        b, gg, r = sr.resample_bgr(jnp.asarray(sr.to_planar(frame)), plan, g.src_w)
         x = np.stack([np.asarray(b), np.asarray(gg), np.asarray(r)]).astype(np.int64)
         dev_gray = ((x[2] * 9798 + x[1] * 19235 + x[0] * 3735 + (1 << 14)) >> 15).astype(np.uint8)
 
