@@ -25,6 +25,7 @@ from chessboard_vision_tpu.session.noise import NoiseHandler, NoiseState
 from chessboard_vision_tpu.utils.config import (
     CALIBRATION_FILE,
     PIECE_SETTINGS_FILE,
+    SENSITIVITY_FILE,
     load_json_config,
 )
 from chessboard_vision_tpu.utils.logging import get_logger
@@ -96,7 +97,13 @@ class GameSession:
         self.orientation_flipped = config.get("orientation_flipped", False)
         geometry = geo.BoardGeometry.from_config(config)
         piece_settings = load_json_config(PIECE_SETTINGS_FILE)
-        self.pipeline = VisionPipeline(geometry, piece_settings=piece_settings)
+        # Unlike the reference (which saved sensitivity_settings.json but
+        # never loaded it — SURVEY.md §5 quirk), the tuned change-detector
+        # settings are honored here.
+        change_settings = load_json_config(SENSITIVITY_FILE)
+        self.pipeline = VisionPipeline(
+            geometry, piece_settings=piece_settings, change_settings=change_settings
+        )
         self.pipe_state = self.pipeline.init_state()
         self.game = GameState()
         self.noise = NoiseHandler()

@@ -1,0 +1,129 @@
+"""Piece-detector calibrator (trackbar UI) + stats export.
+
+Equivalent of reference calibrate_piece_detector.py: tune Hough radius
+percentages and thresholds over the live warped board with per-method
+color coding; exports piece_detector_settings.json and piece_stats.txt.
+
+Run: python -m chessboard_vision_tpu.tools.calibrate_piece_detector
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from chessboard_vision_tpu import geometry as geo
+from chessboard_vision_tpu.models.pipeline import VisionPipeline
+from chessboard_vision_tpu.ops.piece import METHOD_NAMES
+from chessboard_vision_tpu.utils.config import (
+    CALIBRATION_FILE,
+    PIECE_SETTINGS_FILE,
+    load_json_config,
+    save_json_config,
+)
+
+METHOD_COLORS = {
+    1: (0, 255, 0),      # hough
+    2: (255, 200, 0),    # tower_top
+    3: (0, 200, 255),    # center_diff
+    4: (255, 0, 255),    # symmetry
+}
+
+
+def export_stats(path, out, settings):
+    import datetime
+
+    radius = np.asarray(out.radius)
+    method = np.asarray(out.method)
+    conf = np.asarray(out.confidence)
+    has = np.asarray(out.occupancy)
+    lines = [
+        f"piece detector stats — {datetime.datetime.now():%Y-%m-%d %H:%M}",
+        f"settings: {settings}",
+        f"occupied: {int(has.sum())}/64",
+    ]
+    for s in range(64):
+        if has[s]:
+            f, r = s % 8, s // 8
+            lines.append(
+                f"  {'abcdefgh'[f]}{r + 1}: r={int(radius[s])}px "
+                f"method={METHOD_NAMES[int(method[s])]} conf={conf[s]:.2f}"
+            )
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"exported {path}")
+
+
+def main(camera_id: int = 0):
+    import cv2
+
+    config = load_json_config(CALIBRATION_FILE)
+    if config is None:
+        print("run calibration first (tools.calibration_module)")
+        return 1
+    cap = cv2.VideoCapture(camera_id)
+    if not cap.isOpened():
+        print("failed to open camera")
+        return 1
+
+    win = "Piece Detector"
+    cv2.namedWindow(win)
+    saved = load_json_config(PIECE_SETTINGS_FILE, {}) or {}
+    cv2.createTrackbar("Min radius %", win, int(saved.get("min_radius", 20)), 50, lambda v: None)
+    cv2.createTrackbar("Max radius %", win, int(saved.get("max_radius", 55)), 80, lambda v: None)
+
+    geometry = geo.BoardGeometry.from_config(config)
+    pipe = None
+    state = None
+    current = None
+    out = None
+    print("'s' saves settings, 'e' exports piece_stats.txt, 'q' quits")
+
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        settings = {
+            "min_radius": max(cv2.getTrackbarPos("Min radius %", win), 5),
+            "max_radius": max(cv2.getTrackbarPos("Max radius %", win), 10),
+        }
+        if settings != current:
+            current = dict(settings)
+            pipe = VisionPipeline(geometry, piece_settings=settings)
+            state = pipe.capture_reference(pipe.init_state(), frame)
+
+        state, out = pipe.step(state, frame, use_delta=False)
+        vis = pipe.warp_board(frame)
+        bs = pipe.geometry.board_size
+        sq = bs // 8
+        method = np.asarray(out.method)
+        radius = np.asarray(out.radius)
+        conf = np.asarray(out.confidence)
+        occ = np.asarray(out.raw_occupancy)
+        for s in range(64):
+            if occ[s]:
+                f, r = s % 8, s // 8
+                col, row = f, 7 - r
+                cx, cy = col * sq + sq // 2, row * sq + sq // 2
+                color = METHOD_COLORS.get(int(method[s]), (200, 200, 200))
+                cv2.circle(vis, (cx, cy), int(radius[s]), color, 2)
+                cv2.putText(vis, f"{conf[s]:.2f}", (cx - 18, cy - int(radius[s]) - 4),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.45, color, 1)
+        cv2.putText(vis, f"minR={settings['min_radius']}% maxR={settings['max_radius']}% "
+                    f"occupied={int(occ.sum())}", (10, bs - 12),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.55, (0, 255, 0), 2)
+        cv2.imshow(win, vis)
+        key = cv2.waitKey(1) & 0xFF
+        if key == ord("q"):
+            break
+        if key == ord("s"):
+            save_json_config(PIECE_SETTINGS_FILE, current)
+            print(f"saved {PIECE_SETTINGS_FILE}: {current}")
+        elif key == ord("e") and out is not None:
+            export_stats("piece_stats.txt", out, current)
+    cap.release()
+    cv2.destroyAllWindows()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
