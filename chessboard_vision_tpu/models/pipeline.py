@@ -108,6 +108,11 @@ class VisionPipeline:
         self.initial_variance = float(cs.get("initial_variance", 100.0))
         self.alpha = float(cs.get("alpha", 0.1))
 
+        # Constant device inputs reused across steps (avoid per-frame H2D).
+        self._zero_mask64 = jnp.zeros((64,), bool)
+        self._false = jnp.asarray(False)
+        self._true = jnp.asarray(True)
+
         donate = (0,) if donate_state else ()
         self._step = jax.jit(
             partial(self._step_impl),
@@ -242,21 +247,21 @@ class VisionPipeline:
         if isinstance(frame, np.ndarray) and frame.ndim == 3 and frame.shape[-1] == 3:
             frame = sr.to_planar(frame)
         if squares_to_check is None:
-            s2c_mask = jnp.zeros((64,), bool)
-            s2c_given = jnp.asarray(False)
+            s2c_mask = self._zero_mask64
+            s2c_given = self._false
         else:
             m = np.zeros(64, bool)
             for f, r in squares_to_check:
                 if 0 <= f < 8 and 0 <= r < 8:
                     m[r * 8 + f] = True
             s2c_mask = jnp.asarray(m)
-            s2c_given = jnp.asarray(True)
+            s2c_given = self._true
         return self._step(
             state,
             jnp.asarray(frame),
             s2c_mask,
             s2c_given,
-            jnp.asarray(refresh_refs),
+            self._true if refresh_refs else self._false,
             use_smoothing=use_smoothing,
             use_delta=use_delta,
         )

@@ -80,7 +80,9 @@ def build_plan(qx: np.ndarray, qy: np.ndarray, src_h: int, src_w: int):
     rx_min = np.minimum(ix_v.min(axis=(1, 2)), src_w - 2)
     rx_max = np.maximum(np.where(bad, -1, ix).max(axis=(1, 2)) + 1, 1)
     RH = int(_round_up(int((ry_max - ry_min).max()) + 2, 8))
-    RW = int(_round_up(int((rx_max - rx_min).max()) + 2, 128))
+    # contraction-dim alignment: multiples of 8 suffice (128 would double
+    # the on-the-fly ColW tensor for ~126px squares)
+    RW = int(_round_up(int((rx_max - rx_min).max()) + 2, 8))
     RH = min(RH, src_h)
     RW = min(RW, src_w)
     ry0 = np.clip(ry_min, 0, src_h - RH)
