@@ -156,6 +156,23 @@ def refine_grid(img_warped_bgr: np.ndarray) -> Tuple[List[int], List[int]]:
     return refine_grid_lines(col_proj, w), refine_grid_lines(row_proj, h)
 
 
+def split_board_dict(img_warped: np.ndarray, grid_x=None, grid_y=None) -> dict:
+    """Reference split_board API: {(file, rank): crop} with a1=(0,0)
+    (grid_extractor.py:8-58 linear, :123-163 smart-grid). The device path
+    uses precomputed gather maps instead; this host helper serves tools,
+    tests, and drop-in compatibility."""
+    h, w = img_warped.shape[:2]
+    gx = list(map(int, grid_x)) if grid_x else linear_grid_lines(w)
+    gy = list(map(int, grid_y)) if grid_y else linear_grid_lines(h)
+    out = {}
+    for r in range(8):
+        for c in range(8):
+            if gx[c] >= gx[c + 1] or gy[r] >= gy[r + 1]:
+                continue
+            out[(c, 7 - r)] = img_warped[gy[r] : gy[r + 1], gx[c] : gx[c + 1]]
+    return out
+
+
 def find_chessboard_corners(img_bgr: np.ndarray, debug: bool = False) -> np.ndarray:
     """Automatic corner detection (reference board_detection.py:4-27).
 

@@ -242,3 +242,28 @@ class PieceDetectorModel:
 
     def update_references(self, gray):
         self.state = update_references(self.state, jnp.asarray(gray))
+
+    def calibrate_reference(self, gray):
+        """Set references AND prime the result cache from a fresh detection
+        (reference calibrate_reference, piece_detector.py:70-80)."""
+        gray = jnp.asarray(gray)
+        fresh = piece_ops.detect_pieces(gray, self.masks, self.params, self.bounds)
+        self.state = self.state._replace(
+            ref_gray=gray,
+            has_ref=jnp.ones_like(self.state.has_ref),
+            cache_has=fresh.has_piece,
+            cache_method=fresh.method,
+            cache_conf=fresh.confidence,
+            cache_cx=fresh.center_x,
+            cache_cy=fresh.center_y,
+            cache_radius=fresh.radius,
+            has_cache=jnp.ones_like(self.state.has_cache),
+        )
+
+    def get_occupied_squares(self, gray, use_smoothing=True):
+        """Set of occupied (file, rank) tuples (piece_detector.py:442-445)."""
+        out = self.detect_all_pieces(gray, use_smoothing=use_smoothing)
+        import numpy as _np
+
+        has = _np.asarray(out.has_piece)
+        return {(sq % 8, sq // 8) for sq in range(64) if has[sq]}

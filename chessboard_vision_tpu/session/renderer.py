@@ -16,6 +16,32 @@ def _sq_to_cell(f, r):
     return f, 7 - r
 
 
+def draw_chess_grid_dynamic(img, board_size: int, orientation: str = "WHITE"):
+    """Grid lines + file/rank labels (reference board_detection.py:112-146).
+
+    orientation 'WHITE': a1 bottom-left; 'BLACK': rotated labels.
+    """
+    import cv2
+
+    sq = board_size // 8
+    for i in range(1, 8):
+        cv2.line(img, (i * sq, 0), (i * sq, board_size), (255, 255, 255), 2)
+        cv2.line(img, (0, i * sq), (board_size, i * sq), (255, 255, 255), 2)
+    if orientation == "WHITE":
+        files = list("abcdefgh")
+        ranks = [8, 7, 6, 5, 4, 3, 2, 1]
+    else:
+        files = list("hgfedcba")
+        ranks = [1, 2, 3, 4, 5, 6, 7, 8]
+    for i, f in enumerate(files):
+        cv2.putText(img, f, (i * sq + sq // 2 - 10, board_size - 10),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 255, 255), 2)
+    for i, rank in enumerate(ranks):
+        cv2.putText(img, str(rank), (5, i * sq + sq // 2 + 10),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 255, 255), 2)
+    return img
+
+
 def draw_board_overlay(
     vis,
     board_size: int,
