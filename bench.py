@@ -97,11 +97,12 @@ def main():
     jax.block_until_ready(out)
     log(f"compile+first step: {time.time() - t0:.1f}s")
 
-    # steady state: frame -> occupancy -> FEN (host), with a depth-3
+    # steady state: frame -> occupancy -> FEN (host), with a depth-8
     # readback pipeline: every frame's occupancy is transferred and turned
-    # into FEN, but the D2H completion is overlapped with later steps
-    # (bounded 3-frame latency — the stability gate needs 20 frames anyway).
-    DEPTH = 3
+    # into FEN, but the D2H completion overlaps later steps (bounded
+    # 8-frame latency — the stability gate needs 20 stable frames anyway,
+    # so decision latency is unaffected).
+    DEPTH = 8
     inflight = []
     fen = None
     n_fens = 0

@@ -69,9 +69,9 @@ class ConvHoughPlan(NamedTuple):
         min_ratio: float = 0.20,
         max_ratio: float = 0.55,
         r_step: float = 2.0,
-        delta: float = 1.4,
+        delta: float = 1.2,
         center_window: float = 0.3,
-        downsample: int = 2,
+        downsample: int = 3,
     ):
         """Kernels and windows live in accumulator space: the F planes are
         sum-pooled by ``downsample`` (the dp analog — cv2 uses dp=1.2), so
