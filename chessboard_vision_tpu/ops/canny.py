@@ -84,8 +84,13 @@ def canny(img: jnp.ndarray, low: int, high: int, max_iters: int = 256):
 
     def body(carry):
         cur, _, i = carry
-        new = cur | (_dilate3(cur) & weak)
-        return new, jnp.any(new != cur), i + 1
+        # Several propagation steps per while-iteration: same fixpoint
+        # (each step still only crosses weak pixels), but the convergence
+        # check and loop-carry overhead amortize 4x.
+        new = cur
+        for _ in range(4):
+            new = new | (_dilate3(new) & weak)
+        return new, jnp.any(new != cur), i + 4
 
     edges, _, _ = jax.lax.while_loop(cond, body, (strong, jnp.asarray(True), 0))
     return edges

@@ -1,0 +1,138 @@
+"""MultiStreamSession: N concurrent game sessions on one batched pipeline.
+
+The deployment shape the BASELINE north-star names: N camera rigs digitized
+by a single device program per tick. The vision work (warp, detection,
+change model, noise FSM) runs batched and sharded on device
+(parallel/multistream.py); this wrapper keeps N independent host-side rule
+states (move inference, stability gating, per-stream callbacks) and feeds
+smart-scan masks back per stream.
+
+Per-stream semantics match GameSession (same stability constants and
+inference); the noise FSM runs on device (ops/fsm.py — differentially
+identical to the host FSM).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from chessboard_vision_tpu.geometry import BoardGeometry
+from chessboard_vision_tpu.models.pipeline import occupancy_to_set, positions_to_mask
+from chessboard_vision_tpu.parallel.multistream import MultiStreamPipeline
+from chessboard_vision_tpu.rules import chess, GameState
+from chessboard_vision_tpu.utils.logging import get_logger
+
+
+class _StreamState:
+    def __init__(self):
+        self.game = GameState()
+        self.stable_occupancy = None
+        self.stable_count = 0
+        self.last_move_time = 0.0
+        self.refresh_next = False
+
+
+class MultiStreamSession:
+    STABILITY_REQUIRED = 20
+    MOVE_COOLDOWN = 2.0
+    FULL_SCAN_PERIOD = 30
+
+    def __init__(
+        self,
+        geometry: BoardGeometry,
+        n_streams: int,
+        mesh=None,
+        on_move_detected: Optional[Callable[[int, "chess.Move"], bool]] = None,
+        **pipeline_kw,
+    ):
+        self.n = n_streams
+        self.ms = MultiStreamPipeline(geometry, n_streams=n_streams, mesh=mesh, **pipeline_kw)
+        self.state = self.ms.init_state()
+        self.streams = [_StreamState() for _ in range(n_streams)]
+        self.frame_count = 0
+        self.on_move_detected = on_move_detected or (lambda i, m: True)
+        self.log = get_logger("msession")
+
+    def capture_reference(self, frames):
+        self.state = self.ms.capture_reference(self.state, frames)
+
+    def _smart_scan_mask(self, st: _StreamState) -> np.ndarray:
+        squares = set(st.game.get_board_occupancy())
+        for move in st.game.board.legal_moves:
+            squares.add((chess.square_file(move.to_square), chess.square_rank(move.to_square)))
+        return positions_to_mask(squares)
+
+    def on_frames(self, frames) -> List[Optional["chess.Move"]]:
+        """One tick: (N, 3, H, W) frames -> committed move (or None) per stream."""
+        self.frame_count += 1
+        if self.frame_count % self.FULL_SCAN_PERIOD != 0:
+            s2c = np.stack([self._smart_scan_mask(st) for st in self.streams])
+        else:
+            s2c = None
+        refresh = np.array([st.refresh_next for st in self.streams])
+        for st in self.streams:
+            st.refresh_next = False
+
+        self.state, out = self.ms.step(self.state, frames, s2c_masks=s2c, refresh=refresh)
+
+        occ = np.asarray(out.step.occupancy)
+        blocked = np.asarray(out.noise.blocked)
+        moves: List[Optional[chess.Move]] = []
+        now = time.time()
+        for i, st in enumerate(self.streams):
+            vision = occupancy_to_set(occ[i])
+            moves.append(self._process_stable_move(i, st, vision, bool(blocked[i]), now))
+        return moves
+
+    def _process_stable_move(self, idx, st: _StreamState, vision, blocked, now):
+        expected = st.game.get_board_occupancy()
+        missing = expected - vision
+        extra = vision - expected
+        if len(missing) + len(extra) > 4:
+            st.stable_count = 0
+            st.stable_occupancy = set()
+        elif st.stable_occupancy == vision:
+            st.stable_count += 1
+        else:
+            st.stable_occupancy = set(vision)
+            st.stable_count = 1
+
+        if (
+            st.stable_count >= self.STABILITY_REQUIRED
+            and (now - st.last_move_time) > self.MOVE_COOLDOWN
+            and not blocked
+        ):
+            move = self._infer_move(st, missing, extra, vision)
+            if move and self.on_move_detected(idx, move):
+                if move in st.game.board.legal_moves:
+                    st.game.board.push(move)
+                    st.last_move_time = now
+                    st.refresh_next = True
+                    st.stable_count = 0
+                    self.log.info("stream %d: committed %s", idx, move.uci())
+                    return move
+        return None
+
+    def _infer_move(self, st, missing, extra, vision):
+        possible = []
+        for orig in missing:
+            o = chess.square(orig[0], orig[1])
+            for dest in extra:
+                d = chess.square(dest[0], dest[1])
+                cand = chess.Move(o, d)
+                if cand not in st.game.board.legal_moves:
+                    promo = chess.Move(o, d, promotion=chess.QUEEN)
+                    if promo in st.game.board.legal_moves:
+                        cand = promo
+                if cand in st.game.board.legal_moves:
+                    possible.append(cand)
+            for move in st.game.board.legal_moves:
+                if move.from_square == o and st.game.board.is_capture(move):
+                    dt = (chess.square_file(move.to_square), chess.square_rank(move.to_square))
+                    if dt in vision:
+                        possible.append(move)
+        unique = list(set(possible))
+        return unique[0] if len(unique) == 1 else None
