@@ -40,11 +40,15 @@ def clahe(img: jnp.ndarray, clip_limit: float = 3.0, tiles: int = 8) -> jnp.ndar
     clip_abs = max(int(clip_limit * area / 256), 1)
     n_tiles = tiles * tiles
 
-    # Per-tile histograms: (tiles, th, tiles, tw) -> (n_tiles, area)
+    # Per-tile histograms: (tiles, th, tiles, tw) -> (n_tiles, area).
+    # One-hot compare+reduce instead of scatter-add (TPU serializes
+    # scatters: the scatter histogram alone cost ~8 ms/frame at 720p; the
+    # fused compare-reduce runs at VPU speed).
     tiled = pad.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3).reshape(n_tiles, area)
-    hist = jax.vmap(
-        lambda t: jnp.zeros((256,), jnp.int32).at[t.astype(jnp.int32)].add(1)
-    )(tiled)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+    hist = jnp.sum(
+        (tiled.astype(jnp.int32)[:, :, None] == bins).astype(jnp.int32), axis=1
+    )
 
     # Clip + OpenCV's two-phase excess redistribution.
     excess = jnp.sum(jnp.maximum(hist - clip_abs, 0), axis=-1)

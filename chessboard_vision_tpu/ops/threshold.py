@@ -8,12 +8,16 @@ binary image is (x > t) * 255.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
     """Return the Otsu threshold (float32 scalar) of a u8 image."""
-    hist = jnp.zeros((256,), jnp.float32).at[x.reshape(-1).astype(jnp.int32)].add(1.0)
+    # one-hot compare+reduce histogram (TPU serializes scatter-adds)
+    flat = x.reshape(-1).astype(jnp.int32)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    hist = jnp.sum((flat[:, None] == bins).astype(jnp.float32), axis=0)
     levels = jnp.arange(256, dtype=jnp.float32)
     n = jnp.sum(hist)
     q1 = jnp.cumsum(hist)  # counts <= t
