@@ -61,6 +61,7 @@ def main():
     ap.add_argument("--dry", action="store_true", help="tiny CPU-friendly run")
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--streams", type=int, default=8, help="batched-stream secondary bench")
+    ap.add_argument("--trace", default=None, help="capture a jax.profiler trace to this dir")
     args = ap.parse_args()
 
     if args.dry:
@@ -134,6 +135,14 @@ def main():
     assert n_fens == iters
     log(f"single-stream (pipelined depth {DEPTH}): {per_frame * 1e3:.2f} ms/frame  "
         f"fps {fps:.1f}  fen={fen.split()[0]}")
+
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        for _ in range(5):
+            state, out = pipe.step(state, frame_dev)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        log(f"trace written to {args.trace}")
 
     # strict per-frame sync latency (upper bound incl. host<->device RTT)
     times = []

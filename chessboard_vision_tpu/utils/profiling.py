@@ -17,6 +17,20 @@ from typing import Dict, List
 import numpy as np
 
 
+@contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace scope — the framework's tracing hook (write the
+    result dir into TensorBoard's profile plugin, or parse the
+    .trace.json.gz directly; see PERF.md for the op-level workflow)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
 class FpsCounter:
     """Windowed FPS: update() per frame; .fps refreshes every ``window`` s."""
 
