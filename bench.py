@@ -51,6 +51,7 @@ def synth_frame(rng, h, w):
                 cy = y0 + (7 - r) * sq + sq // 2
                 col = (235, 235, 245) if r <= 3 else (40, 36, 30)
                 cv2.circle(frame, (cx, cy), int(sq * 0.36), col, -1)
+                cv2.circle(frame, (cx, cy), int(sq * 0.36), (20, 20, 20), 2)
     noise = rng.normal(0, 2.5, frame.shape)
     frame = np.clip(frame.astype(np.float64) + noise, 0, 255).astype(np.uint8)
     return frame, (x0, y0, bs)

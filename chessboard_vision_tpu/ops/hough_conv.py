@@ -68,7 +68,7 @@ class ConvHoughPlan(NamedTuple):
         widths,
         min_ratio: float = 0.20,
         max_ratio: float = 0.55,
-        r_step: float = 2.0,
+        r_step: float = 3.0,
         delta: float = 1.2,
         center_window: float = 0.3,
         downsample: int = 3,

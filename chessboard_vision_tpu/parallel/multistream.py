@@ -66,6 +66,9 @@ class MultiStreamPipeline:
 
         batched = jax.vmap(one_stream)
         self._step = jax.jit(batched, donate_argnums=(0,))
+        self._capture = jax.jit(
+            jax.vmap(lambda st, fr: self.pipe.capture_reference(st, fr))
+        )
 
     def init_state(self) -> MultiStreamState:
         def stack(leaf):
@@ -82,8 +85,7 @@ class MultiStreamPipeline:
 
     def capture_reference(self, state: MultiStreamState, frames) -> MultiStreamState:
         frames = jnp.asarray(frames)
-        cap = jax.jit(jax.vmap(lambda st, fr: self.pipe.capture_reference(st, fr)))
-        pipe = cap(state.pipe, self._place(frames))
+        pipe = self._capture(state.pipe, self._place(frames))
         return MultiStreamState(pipe=pipe, noise=state.noise)
 
     def _place(self, arr):
