@@ -59,3 +59,19 @@ def shard_pytree_leading_axis(tree, mesh: Mesh, axis: str = "data"):
     """Place every array leaf with its leading axis sharded over ``axis``."""
     sh = stream_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_pytree_stream_square(tree, mesh: Mesh, data_axis="data", space_axis="space"):
+    """2-D placement: leading (stream) axis over ``data``; for leaves whose
+    second axis is the 64-square axis, shard it over ``space`` too (spatial
+    parallelism of the per-square perception work). Other leaves replicate
+    their trailing dims."""
+    two_d = NamedSharding(mesh, P(data_axis, space_axis))
+    one_d = NamedSharding(mesh, P(data_axis))
+
+    def place(x):
+        if x.ndim >= 2 and x.shape[1] == 64 and 64 % mesh.shape[space_axis] == 0:
+            return jax.device_put(x, two_d)
+        return jax.device_put(x, one_d)
+
+    return jax.tree.map(place, tree)

@@ -80,7 +80,13 @@ class MultiStreamPipeline:
             noise=jax.tree.map(stack, fsm_ops.init_state()),
         )
         if self.mesh is not None:
-            state = mesh_lib.shard_pytree_leading_axis(state, self.mesh)
+            if "space" in self.mesh.axis_names and self.mesh.shape["space"] > 1:
+                # 2-D placement: streams over "data", the 64-square axis
+                # over "space" (spatial/model parallelism — XLA inserts the
+                # all-gathers the per-stream FSM reduction needs over ICI).
+                state = mesh_lib.shard_pytree_stream_square(state, self.mesh)
+            else:
+                state = mesh_lib.shard_pytree_leading_axis(state, self.mesh)
         return state
 
     def capture_reference(self, state: MultiStreamState, frames) -> MultiStreamState:
@@ -90,7 +96,9 @@ class MultiStreamPipeline:
 
     def _place(self, arr):
         if self.mesh is not None:
-            return jax.device_put(arr, mesh_lib.stream_sharding(self.mesh))
+            return jax.device_put(
+                arr, mesh_lib.stream_sharding(self.mesh, axis="data")
+            )
         return arr
 
     def step(
