@@ -34,6 +34,16 @@ def make_mesh(
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"make_mesh: requested {n_devices} devices but only "
+            f"{len(devices)} available on backend "
+            f"'{jax.default_backend()}'. For a virtual CPU mesh, start the "
+            "process with XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_devices} and force the cpu platform "
+            '(jax.config.update("jax_platforms", "cpu")) before jax '
+            "initializes — see tests/conftest.py."
+        )
     devices = devices[:n_devices]
     if shape is None:
         shape = (n_devices,) + (1,) * (len(axes) - 1)
