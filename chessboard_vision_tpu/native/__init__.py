@@ -32,10 +32,22 @@ def _build():
         return False
 
 
+def _stale():
+    """True when the .so is missing or older than its sources."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    for src in ("src/cbv_native.cpp", "Makefile"):
+        p = os.path.join(_DIR, src)
+        if os.path.exists(p) and os.path.getmtime(p) > so_mtime:
+            return True
+    return False
+
+
 def _load():
     global _lib, AVAILABLE
-    if not os.path.exists(_LIB_PATH):
-        if not _build():
+    if _stale():
+        if not _build() and not os.path.exists(_LIB_PATH):
             return
     try:
         lib = ctypes.CDLL(_LIB_PATH)

@@ -77,11 +77,15 @@ class LichessClient:
             "Accept": "application/x-ndjson",
         }
         try:
+            # (connect, read) timeout: lichess keep-alives arrive every few
+            # seconds, so a 60 s read gap means the connection silently died
+            # — raise and end the generator instead of blocking iter_lines()
+            # forever (the reconnect wrapper then re-establishes the stream).
             resp = requests.get(
                 f"{self.BASE_URL}/api/board/game/stream/{game_id}",
                 headers=headers,
                 stream=True,
-                timeout=None,
+                timeout=(10, 60),
             )
             if resp.status_code != 200:
                 self.log.warning("stream error: %s", resp.status_code)

@@ -60,9 +60,11 @@ def canny(img: jnp.ndarray, low: int, high: int, max_iters: int = 256):
 
     c = mag
     ax = jnp.abs(dx)
-    ay = jnp.abs(dy).astype(jnp.int64) << 15
-    tg22x = ax.astype(jnp.int64) * _TG22
-    tg67x = tg22x + (ax.astype(jnp.int64) << 16)
+    # int32 is ample: |dx|,|dy| <= 1020 for Sobel-3 on u8, so the largest
+    # intermediate (ax << 16) is ~6.7e7 << 2^31.
+    ay = jnp.abs(dy).astype(jnp.int32) << 15
+    tg22x = ax.astype(jnp.int32) * _TG22
+    tg67x = tg22x + (ax.astype(jnp.int32) << 16)
     horiz = ay < tg22x
     vert = (~horiz) & (ay > tg67x)
     s_pos = (dx ^ dy) >= 0  # gradient signs agree -> main diagonal

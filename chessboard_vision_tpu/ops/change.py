@@ -113,10 +113,11 @@ def detect(
     pct = ccount.astype(jnp.float32) * 100.0 / total.astype(jnp.float32)
     z_peak = jnp.max(jnp.where(valid_mask, z, -jnp.inf), axis=(-2, -1))
 
-    c100 = ccount.astype(jnp.int64) * 100
-    significant = c100 >= 5 * total.astype(jnp.int64)  # pct >= 5
-    total_i = c100 > 75 * total.astype(jnp.int64)  # pct > 75
-    parcial = c100 > 15 * total.astype(jnp.int64)  # pct > 15
+    # int32-exact: ccount, total <= H*W (~6e3), so 100x products stay tiny.
+    c100 = ccount * 100
+    significant = c100 >= 5 * total  # pct >= 5
+    total_i = c100 > 75 * total  # pct > 75
+    parcial = c100 > 15 * total  # pct > 15
     intensity = jnp.where(
         total_i,
         INTENSITY_TOTAL,

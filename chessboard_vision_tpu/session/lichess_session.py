@@ -63,7 +63,14 @@ class LichessSession(GameSession):
         return False
 
     def _stream_task(self):
-        for event in self.lichess.stream_game(self.game_id):
+        # Reconnecting stream: a silently dropped connection raises a read
+        # timeout inside stream_game (timeout=(10, 60)), and the wrapper
+        # re-establishes the long poll — a mid-game network blip must not
+        # permanently stop opponent-move syncing.
+        events = self.lichess.stream_game_with_reconnect(
+            self.game_id, stop_check=self.stop_event.is_set
+        )
+        for event in events:
             if self.stop_event.is_set():
                 break
             etype = event.get("type")

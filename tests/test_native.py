@@ -72,9 +72,14 @@ class TestFrameRing:
         ring = native.FrameRing((2, 2), n_slots=2)
         for i in range(5):
             ring.push(np.full((2, 2), i, np.uint8))
-        assert ring.dropped == 3
+        assert len(ring) == 2
         seq, out = ring.pop()
         assert out[0, 0] == 3  # oldest surviving
+        assert seq == 4
+        assert ring.dropped == 3  # consumer-side lap accounting
+        seq, out = ring.pop()
+        assert out[0, 0] == 4 and seq == 5
+        assert ring.pop() == (0, None)
         ring.close()
 
     def test_skip_to_latest(self):
