@@ -40,6 +40,21 @@ class PipelineState(NamedTuple):
     change: change_ops.ChangeModelState
 
 
+class StepConsts(NamedTuple):
+    """Device constants passed as jit ARGUMENTS, not closure literals.
+
+    Closing over multi-MB arrays (the Hough basis matrix alone is tens of
+    MB) embeds them as literals in the jaxpr/HLO, which multiplies XLA
+    compile time and bloats every derived program; as arguments they are
+    ordinary device buffers hashed by shape."""
+
+    dg: warp_ops.DeviceGeometry
+    masks: piece_ops.PieceMasks
+    params: hough_ops.HoughParams
+    conv_plan: Optional[hough_conv_ops.ConvHoughPlan]
+    mm_plan: mr.MatmulResamplePlan
+
+
 class StepOutputs(NamedTuple):
     occupancy: jnp.ndarray  # (64,) bool — smoothed has_piece per square
     raw_occupancy: jnp.ndarray  # (64,) bool
@@ -93,8 +108,13 @@ class VisionPipeline:
             hough_backend = "conv" if jax.default_backend() == "tpu" else "exact"
         self.hough_backend = hough_backend
         if hough_backend == "conv":
+            # Bounded hysteresis (2 rounds, reach 8) on the conv path: the
+            # exact fixpoint's lax.while_loop costs are content-dependent;
+            # decision agreement with the full Canny is 100% on the fixture
+            # sweep at >=1 round (tests/test_hough_conv.py).
             self.conv_plan, self.conv_dims = hough_conv_ops.ConvHoughPlan.build(
-                heights, widths, min_ratio=min_ratio, max_ratio=max_ratio
+                heights, widths, min_ratio=min_ratio, max_ratio=max_ratio,
+                plane_h=self.H, plane_w=self.W, hysteresis_rounds=2,
             )
         else:
             self.conv_plan, self.conv_dims = None, None
@@ -113,17 +133,31 @@ class VisionPipeline:
         self._false = jnp.asarray(False)
         self._true = jnp.asarray(True)
 
+        self._consts = StepConsts(
+            dg=self.dg,
+            masks=self.masks,
+            params=self.params,
+            conv_plan=self.conv_plan,
+            mm_plan=self._mm_plan,
+        )
+
         donate = (0,) if donate_state else ()
         self._step = jax.jit(
             partial(self._step_impl),
             static_argnames=("use_smoothing", "use_delta"),
             donate_argnums=donate,
         )
+        self._step_many = jax.jit(
+            partial(self._steps_impl),
+            static_argnames=("use_smoothing", "use_delta"),
+            donate_argnums=donate,
+        )
         self._preprocess_j = jax.jit(self._preprocess)
+        self._capture_j = jax.jit(self._capture_impl)
 
     # -- core device functions ------------------------------------------
 
-    def _preprocess(self, frame: jnp.ndarray) -> jnp.ndarray:
+    def _preprocess(self, frame: jnp.ndarray, consts: StepConsts) -> jnp.ndarray:
         """frame -> preprocessed gray squares (64, H, W) u8.
 
         Accepts (3, Hf, Wf) planar u8 (the TPU-native frame layout — MXU
@@ -137,10 +171,10 @@ class VisionPipeline:
             gray_frame = (
                 (x[2] * 9798 + x[1] * 19235 + x[0] * 3735 + (1 << 14)) >> 15
             ).astype(jnp.uint8)
-            gray_padded = mr.resample_gray_u8(gray_frame, self._mm_plan, self._mm_dims)
+            gray_padded = mr.resample_gray_u8(gray_frame, consts.mm_plan, self._mm_dims)
         else:
-            board = warp_ops.frame_to_board(frame, self.dg)
-            squares_padded = warp_ops.extract_squares(board, self.dg)
+            board = warp_ops.frame_to_board(frame, consts.dg)
+            squares_padded = warp_ops.extract_squares(board, consts.dg)
             gray_padded = bgr2gray(squares_padded)
         return gaussian_blur_valid(gray_padded, 5)  # (64, H, W)
 
@@ -151,10 +185,13 @@ class VisionPipeline:
         s2c_mask: jnp.ndarray,
         s2c_given: jnp.ndarray,
         refresh_refs: jnp.ndarray,
+        consts: Optional[StepConsts] = None,
         use_smoothing: bool = True,
         use_delta: bool = True,
     ):
-        gray = self._preprocess(frame)
+        if consts is None:  # convenience for direct (non-jitted) callers
+            consts = self._consts
+        gray = self._preprocess(frame, consts)
 
         # Post-move forced re-reference (reference game_session.py:221:
         # update_references + cache clear), applied with this frame's gray
@@ -169,21 +206,22 @@ class VisionPipeline:
         piece_state, det = pd_model.detect_all(
             piece_in,
             gray,
-            self.masks,
-            self.params,
+            consts.masks,
+            consts.params,
             self.bounds,
             s2c_mask,
             s2c_given,
             use_smoothing=use_smoothing,
             use_delta=use_delta,
             hough_backend=self.hough_backend,
-            conv_plan=self.conv_plan,
+            conv_plan=consts.conv_plan,
             conv_dims=self.conv_dims,
         )
 
         if self.with_change:
             cdet = change_ops.detect(
-                state.change, gray, self.z_threshold, self.dg.sq_mask, self.dg.sq_counts
+                state.change, gray, self.z_threshold,
+                consts.dg.sq_mask, consts.dg.sq_counts,
             )
             change_state = change_ops.update_references(
                 state.change, gray, self.alpha, jnp.ones((gray.shape[0],), bool)
@@ -209,6 +247,45 @@ class VisionPipeline:
         )
         return PipelineState(piece=piece_state, change=change_state), outputs
 
+    def _steps_impl(
+        self,
+        state: PipelineState,
+        frames: jnp.ndarray,
+        s2c_masks: jnp.ndarray,
+        s2c_givens: jnp.ndarray,
+        refreshes: jnp.ndarray,
+        consts: Optional[StepConsts] = None,
+        use_smoothing: bool = True,
+        use_delta: bool = True,
+    ):
+        """lax.scan of _step_impl over a (K, ...) frame chunk.
+
+        One dispatch + ONE small D2H per K frames instead of per frame:
+        per-dispatch and readback latency amortize K-fold while per-frame
+        semantics (delta cache, smoothing history, EMA model, refresh) stay
+        identical to K sequential step() calls — parity-tested in
+        tests/test_pipeline_e2e.py.
+        """
+        if consts is None:
+            consts = self._consts
+
+        def body(st, xs):
+            fr, m, g, r = xs
+            st, out = self._step_impl(
+                st, fr, m, g, r, consts,
+                use_smoothing=use_smoothing, use_delta=use_delta,
+            )
+            return st, out
+
+        return jax.lax.scan(body, state, (frames, s2c_masks, s2c_givens, refreshes))
+
+    def _capture_impl(self, state: PipelineState, frame: jnp.ndarray,
+                      consts: StepConsts) -> PipelineState:
+        gray = self._preprocess(frame, consts)
+        piece = pd_model.update_references(state.piece, gray)
+        change = change_ops.calibrate(gray, self.initial_variance)
+        return PipelineState(piece=piece, change=change)
+
     # -- host API --------------------------------------------------------
 
     def init_state(self) -> PipelineState:
@@ -224,10 +301,7 @@ class VisionPipeline:
         calibrates the change model too)."""
         if isinstance(frame, np.ndarray) and frame.ndim == 3 and frame.shape[-1] == 3:
             frame = sr.to_planar(frame)
-        gray = self._preprocess_j(jnp.asarray(frame))
-        piece = pd_model.update_references(state.piece, gray)
-        change = change_ops.calibrate(gray, self.initial_variance)
-        return PipelineState(piece=piece, change=change)
+        return self._capture_j(state, jnp.asarray(frame), self._consts)
 
     def step(
         self,
@@ -262,8 +336,45 @@ class VisionPipeline:
             s2c_mask,
             s2c_given,
             self._true if refresh_refs else self._false,
+            self._consts,
             use_smoothing=use_smoothing,
             use_delta=use_delta,
+        )
+
+    def step_many(
+        self,
+        state: PipelineState,
+        frames,
+        squares_to_check=None,
+        refresh_first: bool = False,
+        use_smoothing: bool = True,
+        use_delta: bool = True,
+    ):
+        """Process a chunk of K frames in ONE device dispatch.
+
+        frames: (K, 3, H, W) planar u8 (device array for the fast path) or
+        (K, H, W, 3) host HWC. Outputs are StepOutputs with a leading (K,)
+        axis. squares_to_check applies to every frame of the chunk;
+        refresh_first forces a visual re-reference from frame 0 only.
+        """
+        if isinstance(frames, np.ndarray) and frames.ndim == 4 and frames.shape[-1] == 3:
+            frames = np.stack([sr.to_planar(f) for f in frames])
+        frames = jnp.asarray(frames)
+        k = frames.shape[0]
+        if squares_to_check is None:
+            masks = jnp.zeros((k, 64), bool)
+            givens = jnp.zeros((k,), bool)
+        else:
+            masks = jnp.broadcast_to(
+                jnp.asarray(positions_to_mask(squares_to_check)), (k, 64)
+            )
+            givens = jnp.ones((k,), bool)
+        refreshes = jnp.zeros((k,), bool)
+        if refresh_first:
+            refreshes = refreshes.at[0].set(True)
+        return self._step_many(
+            state, frames, masks, givens, refreshes, self._consts,
+            use_smoothing=use_smoothing, use_delta=use_delta,
         )
 
     def warp_board(self, frame) -> np.ndarray:

@@ -50,8 +50,17 @@ def _dilate3(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def canny(img: jnp.ndarray, low: int, high: int, max_iters: int = 256):
-    """cv2.Canny(img, low, high) for u8 (..., H, W) images -> bool edges."""
+def canny(img: jnp.ndarray, low: int, high: int, max_iters: int = 256,
+          hysteresis_rounds: int = -1):
+    """cv2.Canny(img, low, high) for u8 (..., H, W) images -> bool edges.
+
+    hysteresis_rounds: -1 runs the exact fixpoint (bit-exact vs cv2);
+    k >= 0 unrolls exactly k propagation rounds of 4 dilations each with no
+    while_loop/convergence check — weak pixels further than 4k steps from a
+    strong pixel are dropped. The bounded variant is the TPU fast path
+    (fixed cost, no loop-carry overhead); decision impact on the circle
+    detector is calibrated in tests/test_hough_conv.py.
+    """
     dx, dy = sobel3(img)
     mag = jnp.abs(dx) + jnp.abs(dy)
 
@@ -79,6 +88,13 @@ def canny(img: jnp.ndarray, low: int, high: int, max_iters: int = 256):
     cand = (c > low) & keep
     strong = cand & (c > high)
     weak = cand & ~strong
+
+    if hysteresis_rounds >= 0:
+        edges = strong
+        for _ in range(hysteresis_rounds):
+            for _ in range(4):
+                edges = edges | (_dilate3(edges) & weak)
+        return edges
 
     def cond(carry):
         cur, changed, i = carry

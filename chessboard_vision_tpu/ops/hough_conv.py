@@ -49,6 +49,11 @@ class ConvHoughDims(NamedTuple):
     downsample: int
     woy: tuple  # (64,) static window row offsets (accumulator units)
     wox: tuple  # (64,) static window col offsets
+    union_y0: int  # union-window top (accumulator units) across squares
+    union_x0: int
+    union_h: int  # Yu: union-window rows the basis matmul produces
+    union_w: int  # Xu
+    hysteresis_rounds: int = -1  # -1 exact fixpoint; k>=0 bounded (TPU path)
 
 
 class ConvHoughPlan(NamedTuple):
@@ -60,6 +65,8 @@ class ConvHoughPlan(NamedTuple):
     win_offset_y: jnp.ndarray  # (64,) i32 window top in square coords
     win_offset_x: jnp.ndarray  # (64,) i32
     win_mask: jnp.ndarray  # (64, Wy, Wx) bool — centers within 30% of center
+    basis: jnp.ndarray  # (3*Hq*Wq, R*Yu*Xu) bf16 — ring kernels unrolled so
+    #   the whole accumulator is ONE MXU matmul (see find_circle)
 
     @classmethod
     def build(
@@ -72,6 +79,9 @@ class ConvHoughPlan(NamedTuple):
         delta: float = 1.2,
         center_window: float = 0.3,
         downsample: int = 3,
+        plane_h: int = None,
+        plane_w: int = None,
+        hysteresis_rounds: int = -1,
     ):
         """Kernels and windows live in accumulator space: the F planes are
         sum-pooled by ``downsample`` (the dp analog — cv2 uses dp=1.2), so
@@ -112,10 +122,10 @@ class ConvHoughPlan(NamedTuple):
         Wx = Wy
         cy_ds = (heights // 2) // q
         cx_ds = (widths // 2) // q
-        plane_h = heights // q
-        plane_w = widths // q
-        woy = np.clip(cy_ds - win, 0, np.maximum(plane_h - Wy, 0)).astype(np.int64)
-        wox = np.clip(cx_ds - win, 0, np.maximum(plane_w - Wx, 0)).astype(np.int64)
+        sq_plane_h = heights // q
+        sq_plane_w = widths // q
+        woy = np.clip(cy_ds - win, 0, np.maximum(sq_plane_h - Wy, 0)).astype(np.int64)
+        wox = np.clip(cx_ds - win, 0, np.maximum(sq_plane_w - Wx, 0)).astype(np.int64)
         mask = np.zeros((64, Wy, Wx), bool)
         for s in range(64):
             ys = woy[s] + np.arange(Wy)
@@ -130,6 +140,40 @@ class ConvHoughPlan(NamedTuple):
                 & (xs[None, :] < widths[s] // q)
             )
             mask[s] = (d < min_dim[s] * center_window / q) & inb
+        # Unroll the ring kernels into one static basis matrix so the whole
+        # accumulator becomes a single MXU matmul. The conv's receptive
+        # field (K up to ~33) covers the entire downsampled plane (~26 px),
+        # i.e. every output cell depends on every input cell — exactly a
+        # dense matmul, and XLA's conv at these shapes reaches only ~4% MXU
+        # utilization while the matmul formulation streams at HBM speed.
+        # Rows index the flattened input (c, py, px); columns the flattened
+        # output (r, y, x) restricted to the union of the per-square center
+        # windows. Out-of-plane taps are zeroed (== the conv's zero pad).
+        if plane_h is None:
+            plane_h_full = int(heights.max())
+        else:
+            plane_h_full = int(plane_h)
+        if plane_w is None:
+            plane_w_full = int(widths.max())
+        else:
+            plane_w_full = int(plane_w)
+        Hq, Wq = plane_h_full // q, plane_w_full // q
+        y0, x0 = int(woy.min()), int(wox.min())
+        Yu = int(woy.max()) + Wy - y0
+        Xu = int(wox.max()) + Wx - x0
+        dy = np.arange(Hq)[:, None] - (y0 + np.arange(Yu))[None, :] + c  # (Hq, Yu)
+        dxm = np.arange(Wq)[:, None] - (x0 + np.arange(Xu))[None, :] + c  # (Wq, Xu)
+        vy = (dy >= 0) & (dy < K)
+        vx = (dxm >= 0) & (dxm < K)
+        t = kernels[:, :, np.clip(dy, 0, K - 1).reshape(-1), :]  # (3,R,Hq*Yu,K)
+        t = t[:, :, :, np.clip(dxm, 0, K - 1).reshape(-1)]  # (3,R,Hq*Yu,Wq*Xu)
+        t = t.reshape(3, R, Hq, Yu, Wq, Xu)
+        t = t * vy[None, None, :, :, None, None]
+        t = t * vx[None, None, None, None, :, :]
+        basis = np.ascontiguousarray(t.transpose(0, 2, 4, 1, 3, 5)).reshape(
+            3 * Hq * Wq, R * Yu * Xu
+        )
+
         plan = cls(
             kernels=jnp.asarray(kernels),
             radii=jnp.asarray(radii.astype(np.float32)),
@@ -137,10 +181,13 @@ class ConvHoughPlan(NamedTuple):
             win_offset_y=jnp.asarray(woy.astype(np.int32)),
             win_offset_x=jnp.asarray(wox.astype(np.int32)),
             win_mask=jnp.asarray(mask),
+            basis=jnp.asarray(basis, jnp.bfloat16),
         )
         dims = ConvHoughDims(
             ksize=K, win_h=Wy, win_w=Wx, pad=c, downsample=q,
             woy=tuple(int(v) for v in woy), wox=tuple(int(v) for v in wox),
+            union_y0=y0, union_x0=x0, union_h=Yu, union_w=Xu,
+            hysteresis_rounds=hysteresis_rounds,
         )
         return plan, dims
 
@@ -169,7 +216,8 @@ def find_circle(
     and non-circle scores (~0) — see tests/test_hough_conv.py.
     """
     n_sq, H, W = gray.shape
-    edges = canny(gray, max(param1 // 2, 1), param1)
+    edges = canny(gray, max(param1 // 2, 1), param1,
+                  hysteresis_rounds=dims.hysteresis_rounds)
     dx, dy = sobel3(gray, border="reflect101")
     gx = dx.astype(jnp.float32)
     gy = dy.astype(jnp.float32)
@@ -189,28 +237,36 @@ def find_circle(
         ).sum((3, 5))
 
     R = plan.kernels.shape[1]
-    pad = dims.pad
     Wy, Wx = dims.win_h, dims.win_w
+    Yu, Xu = dims.union_h, dims.union_w
 
-    # One conv over the full (downsampled) planes: the 3 quadratic-gradient
-    # planes are in-channels, radii out-channels (the channel contraction
-    # performs the K1+K2+K3 sum). A window-restricted VALID variant (64
-    # per-square receptive-field slices) was measured SLOWER end-to-end —
-    # the slice/stack traffic outweighs the conv FLOP savings, especially
-    # under vmap in the batched pipeline.
-    score = jax.lax.conv_general_dilated(
-        planes,
-        plan.kernels.transpose(1, 0, 2, 3),  # (R, 3, K, K)
-        window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )  # (64, R, H/q, W/q)
+    # ONE MXU matmul computes every (square, radius, center) score inside
+    # the union of the per-square center windows: the ring kernels are
+    # pre-unrolled into `basis` (rows = flattened input cells, cols =
+    # flattened output cells), because at these shapes the receptive field
+    # covers the whole downsampled plane — the conv is dense. bf16 operands
+    # with f32 accumulation: ring sums are ~1e2 with a >50x threshold
+    # margin, far above bf16 noise (decision-parity tested vs the exact
+    # voting backend in tests/test_hough_conv.py). This replaced an XLA
+    # conv_general_dilated that ran at ~4% MXU utilization (1.4 ms/frame ->
+    # ~50 us).
+    pf = planes.reshape(n_sq, -1).astype(jnp.bfloat16)
+    score_u = jax.lax.dot(
+        pf, plan.basis, preferred_element_type=jnp.float32
+    ).reshape(n_sq, R, Yu, Xu)
 
-    def take_window(sc, oy, ox):
-        return jax.lax.dynamic_slice(sc, (0, oy, ox), (R, Wy, Wx))
+    if Yu == Wy and Xu == Wx:
+        win = score_u  # all squares share one window (regular grid)
+    else:
 
-    win = jax.vmap(take_window)(score, plan.win_offset_y, plan.win_offset_x)
+        def take_window(sc, oy, ox):
+            return jax.lax.dynamic_slice(
+                sc,
+                (0, oy - dims.union_y0, ox - dims.union_x0),
+                (R, Wy, Wx),
+            )
+
+        win = jax.vmap(take_window)(score_u, plan.win_offset_y, plan.win_offset_x)
     valid = plan.r_valid[:, :, None, None] & plan.win_mask[:, None]
     win = jnp.where(valid, win, -jnp.inf)
 

@@ -57,17 +57,22 @@ class MultiStreamPipeline:
             donate_state=False,  # donation handled on the batched jit below
         )
 
-        def one_stream(state: MultiStreamState, frame, s2c_mask, s2c_given, refresh):
+        def one_stream(state: MultiStreamState, frame, s2c_mask, s2c_given, refresh, consts):
             pipe_state, out = self.pipe._step_impl(
-                state.pipe, frame, s2c_mask, s2c_given, refresh
+                state.pipe, frame, s2c_mask, s2c_given, refresh, consts
             )
             noise_state, noise_out = fsm_ops.noise_step(state.noise, out.visual_changes)
             return MultiStreamState(pipe_state, noise_state), MultiStreamOutputs(out, noise_out)
 
-        batched = jax.vmap(one_stream)
+        # Device constants enter as (replicated) arguments, not closure
+        # literals — see models/pipeline.StepConsts.
+        batched = jax.vmap(one_stream, in_axes=(0, 0, 0, 0, 0, None))
         self._step = jax.jit(batched, donate_argnums=(0,))
         self._capture = jax.jit(
-            jax.vmap(lambda st, fr: self.pipe.capture_reference(st, fr))
+            jax.vmap(
+                lambda st, fr, c: self.pipe._capture_impl(st, fr, c),
+                in_axes=(0, 0, None),
+            )
         )
 
     def init_state(self) -> MultiStreamState:
@@ -91,7 +96,7 @@ class MultiStreamPipeline:
 
     def capture_reference(self, state: MultiStreamState, frames) -> MultiStreamState:
         frames = jnp.asarray(frames)
-        pipe = self._capture(state.pipe, self._place(frames))
+        pipe = self._capture(state.pipe, self._place(frames), self.pipe._consts)
         return MultiStreamState(pipe=pipe, noise=state.noise)
 
     def _place(self, arr):
@@ -121,4 +126,4 @@ class MultiStreamPipeline:
             refresh = jnp.zeros((n,), bool)
         else:
             refresh = jnp.asarray(refresh)
-        return self._step(state, frames, s2c_mask, s2c_given, refresh)
+        return self._step(state, frames, s2c_mask, s2c_given, refresh, self.pipe._consts)

@@ -149,6 +149,44 @@ def test_smart_scan_parity(rng):
         assert occupancy_to_set(out.visual_changes) == chg_ref, f"frame {i}"
 
 
+def test_step_many_matches_sequential_steps(rng):
+    """The chunked scan step (one dispatch per K frames — the throughput
+    path) is bit-identical to K sequential step() calls: outputs AND all
+    carried state (delta cache, smoothing history, EMA background model)."""
+    import jax
+    import jax.numpy as jnp
+    from chessboard_vision_tpu.ops import static_resample as sr
+
+    g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
+    pipe = VisionPipeline(g, donate_state=False)
+    occ0 = initial_occupancy()
+    occ1 = occ0.copy()
+    occ1[4, 1] = False
+    occ1[4, 3] = True
+
+    f0 = make_board_frame(occ0, rng)
+    state_seq = pipe.capture_reference(pipe.init_state(), f0)
+    state_chunk = jax.tree.map(lambda x: x.copy(), state_seq)
+
+    frames = [make_board_frame(occ0, rng) for _ in range(2)]
+    frames += [make_board_frame(occ1, rng) for _ in range(3)]
+    planar = np.stack([sr.to_planar(f) for f in frames])
+
+    outs_seq = []
+    for i in range(len(frames)):
+        state_seq, o = pipe.step(state_seq, jnp.asarray(planar[i]))
+        outs_seq.append(o)
+    state_chunk, outs = pipe.step_many(state_chunk, jnp.asarray(planar))
+
+    for i in range(len(frames)):
+        for field in outs._fields:
+            a = np.asarray(getattr(outs_seq[i], field))
+            b = np.asarray(getattr(outs, field))[i]
+            assert np.array_equal(a, b), f"frame {i} field {field}"
+    for la, lb in zip(jax.tree.leaves(state_seq), jax.tree.leaves(state_chunk)):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_flipped_orientation(rng):
     """orientation_flipped geometry reports the same logical occupancy for a
     180-rotated physical setup."""

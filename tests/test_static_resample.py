@@ -39,8 +39,12 @@ def test_pipeline_planar_matches_hwc(rng):
     frame = rng.integers(0, 256, (720, 1280, 3), np.uint8)
     g = geo.BoardGeometry.from_calibration(CORNERS)
     pipe = VisionPipeline(g)
-    gray_hwc = np.asarray(pipe._preprocess_j(jnp.asarray(frame))).astype(int)
-    gray_planar = np.asarray(pipe._preprocess_j(jnp.asarray(sr.to_planar(frame)))).astype(int)
+    gray_hwc = np.asarray(
+        pipe._preprocess_j(jnp.asarray(frame), pipe._consts)
+    ).astype(int)
+    gray_planar = np.asarray(
+        pipe._preprocess_j(jnp.asarray(sr.to_planar(frame)), pipe._consts)
+    ).astype(int)
     d = np.abs(gray_hwc - gray_planar)
     assert d.max() <= 1
     assert (d > 0).mean() < 0.12  # pre-blur rounding ties, smoothed by blur
