@@ -188,16 +188,29 @@ def main():
         mstate = ms.init_state()
         frames = jnp.asarray(np.broadcast_to(to_planar(frame), (n, 3, h, w)).copy())
         mstate = ms.capture_reference(mstate, frames)
-        mstate, mout = ms.step(mstate, frames)
-        jax.block_until_ready(mout)
-        bt = []
-        for _ in range(max(3, iters // 10)):
-            t0 = time.perf_counter()
-            mstate, mout = ms.step(mstate, frames)
-            jax.block_until_ready(mout)
-            bt.append(time.perf_counter() - t0)
-        bp50 = float(np.percentile(bt, 50))
-        log(f"batched {n}-stream: p50 {bp50 * 1e3:.2f} ms/tick -> {n / bp50:.1f} frames/s aggregate")
+        T = max(2, K // 2)
+        chunk_frames = jnp.asarray(
+            np.broadcast_to(np.asarray(frames), (T,) + frames.shape).copy()
+        )
+        mstate, mouts = ms.step_chunk(mstate, chunk_frames)
+        jax.block_until_ready(mouts)
+        n_mchunks = max(4, iters // (T * 4))
+        minfl = []
+        t0 = time.perf_counter()
+        for _ in range(n_mchunks):
+            mstate, mouts = ms.step_chunk(mstate, chunk_frames)
+            try:
+                mouts.step.occupancy.copy_to_host_async()
+            except AttributeError:
+                pass
+            minfl.append(mouts.step.occupancy)
+            if len(minfl) > 2:
+                np.asarray(minfl.pop(0))
+        for o in minfl:
+            np.asarray(o)
+        mdt = (time.perf_counter() - t0) / (n_mchunks * T)
+        log(f"batched {n}-stream (chunk {T}): {mdt * 1e3:.2f} ms/tick -> "
+            f"{n / mdt:.1f} frames/s aggregate")
     except Exception as e:  # secondary metric must not break the bench
         log(f"batched bench skipped: {e}")
 

@@ -40,14 +40,22 @@ def _shift2(x, dy, dx):
 def _dilate3(x: jnp.ndarray) -> jnp.ndarray:
     """8-connected binary dilation of a (..., H, W) bool map.
 
-    One fused reduce_window max instead of 8 shifted ORs (the hysteresis
-    loop runs this tens of times per frame; reduce_window keeps it a
-    single TPU op per iteration).
+    Separable shifted-OR form (pad + static slices + ORs): pure elementwise
+    ops that XLA fuses and that batch cleanly under vmap at any rank —
+    reduce_window lowered ~80x slower on the >3-D shapes the vmapped
+    multi-stream pipeline produces.
     """
-    window = (1,) * (x.ndim - 2) + (3, 3)
-    return jax.lax.reduce_window(
-        x, False, jax.lax.bitwise_or, window, (1,) * x.ndim, "SAME"
-    )
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    xp = jnp.pad(x, pad)
+
+    def sl(a, lo, size, axis):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(lo, lo + size)
+        return a[tuple(idx)]
+
+    v = sl(xp, 0, h, -2) | sl(xp, 1, h, -2) | sl(xp, 2, h, -2)  # (… H, W+2)
+    return sl(v, 0, w, -1) | sl(v, 1, w, -1) | sl(v, 2, w, -1)  # (… H, W)
 
 
 def canny(img: jnp.ndarray, low: int, high: int, max_iters: int = 256,
@@ -89,12 +97,20 @@ def canny(img: jnp.ndarray, low: int, high: int, max_iters: int = 256,
     strong = cand & (c > high)
     weak = cand & ~strong
 
+    # Flatten leading batch dims for the propagation loop: TPU XLA lowers
+    # reduce_window on >3-D pred arrays (the vmapped multi-stream case)
+    # ~80x slower than the equivalent 3-D call.
+    shape = strong.shape
+    if strong.ndim > 3:
+        strong = strong.reshape((-1,) + shape[-2:])
+        weak = weak.reshape((-1,) + shape[-2:])
+
     if hysteresis_rounds >= 0:
         edges = strong
         for _ in range(hysteresis_rounds):
             for _ in range(4):
                 edges = edges | (_dilate3(edges) & weak)
-        return edges
+        return edges.reshape(shape)
 
     def cond(carry):
         cur, changed, i = carry
@@ -111,4 +127,4 @@ def canny(img: jnp.ndarray, low: int, high: int, max_iters: int = 256,
         return new, jnp.any(new != cur), i + 4
 
     edges, _, _ = jax.lax.while_loop(cond, body, (strong, jnp.asarray(True), 0))
-    return edges
+    return edges.reshape(shape)

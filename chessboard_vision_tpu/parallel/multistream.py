@@ -68,6 +68,20 @@ class MultiStreamPipeline:
         # literals — see models/pipeline.StepConsts.
         batched = jax.vmap(one_stream, in_axes=(0, 0, 0, 0, 0, None))
         self._step = jax.jit(batched, donate_argnums=(0,))
+
+        def chunk(state, frames, s2c_mask, s2c_given, refresh, consts):
+            # lax.scan over T ticks of the vmapped step: one dispatch + one
+            # small D2H per T x N frames (the same per-dispatch overhead
+            # amortization as VisionPipeline.step_many, applied to the
+            # batched configuration).
+            def body(st, xs):
+                fr, m, g, r = xs
+                st, out = batched(st, fr, m, g, r, consts)
+                return st, out
+
+            return jax.lax.scan(body, state, (frames, s2c_mask, s2c_given, refresh))
+
+        self._step_chunk = jax.jit(chunk, donate_argnums=(0,))
         self._capture = jax.jit(
             jax.vmap(
                 lambda st, fr, c: self.pipe._capture_impl(st, fr, c),
@@ -127,3 +141,24 @@ class MultiStreamPipeline:
         else:
             refresh = jnp.asarray(refresh)
         return self._step(state, frames, s2c_mask, s2c_given, refresh, self.pipe._consts)
+
+    def step_chunk(self, state: MultiStreamState, frames):
+        """T ticks for all N streams in ONE device dispatch.
+
+        frames: (T, N, 3, H, W) planar u8 (or (T, N, H, W, 3) HWC host
+        array). Outputs have leading (T, N) axes. Tick semantics are
+        scan-exact vs T sequential step() calls."""
+        frames = jnp.asarray(frames)
+        t, n = frames.shape[0], self.n_streams
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            frames = jax.device_put(
+                frames, NamedSharding(self.mesh, P(None, "data"))
+            )
+        masks = jnp.zeros((t, n, 64), bool)
+        givens = jnp.zeros((t, n), bool)
+        refreshes = jnp.zeros((t, n), bool)
+        return self._step_chunk(
+            state, frames, masks, givens, refreshes, self.pipe._consts
+        )
