@@ -28,7 +28,7 @@ from chessboard_vision_tpu.ops import change as change_ops
 from chessboard_vision_tpu.ops import hough as hough_ops
 from chessboard_vision_tpu.ops import hough_conv as hough_conv_ops
 from chessboard_vision_tpu.ops import piece as piece_ops
-from chessboard_vision_tpu.ops.color import bgr2gray
+from chessboard_vision_tpu.ops.color import bgr2gray, planar_bgr2gray
 from chessboard_vision_tpu.ops.filters import gaussian_blur_valid
 from chessboard_vision_tpu.ops import static_resample as sr
 from chessboard_vision_tpu.ops import matmul_resample as mr
@@ -167,10 +167,7 @@ class VisionPipeline:
         u8 rounding order (<=1 intensity level; decisions unaffected).
         """
         if frame.ndim == 3 and frame.shape[0] == 3:
-            x = frame.astype(jnp.int32)
-            gray_frame = (
-                (x[2] * 9798 + x[1] * 19235 + x[0] * 3735 + (1 << 14)) >> 15
-            ).astype(jnp.uint8)
+            gray_frame = planar_bgr2gray(frame)
             gray_padded = mr.resample_gray_u8(gray_frame, consts.mm_plan, self._mm_dims)
         else:
             board = warp_ops.frame_to_board(frame, consts.dg)
@@ -192,7 +189,26 @@ class VisionPipeline:
         if consts is None:  # convenience for direct (non-jitted) callers
             consts = self._consts
         gray = self._preprocess(frame, consts)
+        return self._step_core(
+            state, gray, s2c_mask, s2c_given, refresh_refs, consts,
+            use_smoothing=use_smoothing, use_delta=use_delta,
+        )
 
+    def _step_core(
+        self,
+        state: PipelineState,
+        gray: jnp.ndarray,
+        s2c_mask: jnp.ndarray,
+        s2c_given: jnp.ndarray,
+        refresh_refs: jnp.ndarray,
+        consts: StepConsts,
+        use_smoothing: bool = True,
+        use_delta: bool = True,
+    ):
+        """Everything after preprocessing: detection cascade, change model,
+        temporal state. Split out so callers with their own square
+        extraction (per-stream calibration geometries in the batched
+        pipeline) can vmap the geometry-independent core."""
         # Post-move forced re-reference (reference game_session.py:221:
         # update_references + cache clear), applied with this frame's gray
         # inside the same XLA call so the noise FSM sees no phantom changes.
@@ -281,7 +297,9 @@ class VisionPipeline:
 
     def _capture_impl(self, state: PipelineState, frame: jnp.ndarray,
                       consts: StepConsts) -> PipelineState:
-        gray = self._preprocess(frame, consts)
+        return self._capture_core(state, self._preprocess(frame, consts))
+
+    def _capture_core(self, state: PipelineState, gray: jnp.ndarray) -> PipelineState:
         piece = pd_model.update_references(state.piece, gray)
         change = change_ops.calibrate(gray, self.initial_variance)
         return PipelineState(piece=piece, change=change)

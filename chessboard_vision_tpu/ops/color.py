@@ -32,6 +32,15 @@ def bgr2gray(bgr: jnp.ndarray) -> jnp.ndarray:
     return y.astype(jnp.uint8)
 
 
+def planar_bgr2gray(planar: jnp.ndarray) -> jnp.ndarray:
+    """Exact cv2.COLOR_BGR2GRAY for (..., 3, H, W) planar u8 frames (the
+    TPU-native frame layout)."""
+    x = planar.astype(jnp.int32)
+    b, g, r = x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]
+    y = (r * _R2Y + g * _G2Y + b * _B2Y + (1 << (_GRAY_SHIFT - 1))) >> _GRAY_SHIFT
+    return y.astype(jnp.uint8)
+
+
 # ---------------------------------------------------------------------------
 # BGR -> HSV (u8, H in [0,180))
 # OpenCV fixed-point with 12-bit division tables (verified bit-exact).

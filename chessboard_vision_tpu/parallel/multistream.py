@@ -7,9 +7,14 @@ zero cross-stream communication. The per-stream noise FSM runs on device
 (ops/fsm.py) so the whole tick — warp, detect, change-detect, FSM — is one
 XLA call; hosts only see per-stream occupancy + FSM events.
 
-All streams share one calibration geometry (the batched deployment is N
-identical rigs; per-rig calibration means per-stream gather maps, which
-vmap also supports — pass stacked geometries).
+Per-stream calibration: pass a LIST of N BoardGeometry objects (one per
+rig) instead of one. The geometry-dependent square extraction then runs
+per stream with that stream's static resample plan (static region slices
+stay static — vmapping them would lower to TPU's serializing gathers),
+and the geometry-independent perception/FSM core is vmapped across
+streams. All rigs must share the same grid structure (square heights/
+widths — true for linear grids at a common capture resolution); corner
+positions/homographies are free per stream.
 """
 
 from __future__ import annotations
@@ -42,7 +47,7 @@ class MultiStreamPipeline:
 
     def __init__(
         self,
-        geometry: BoardGeometry,
+        geometry,
         n_streams: int,
         mesh=None,
         piece_settings: Optional[dict] = None,
@@ -50,12 +55,43 @@ class MultiStreamPipeline:
     ):
         self.n_streams = n_streams
         self.mesh = mesh
+        if isinstance(geometry, (list, tuple)):
+            geos = list(geometry)
+            if len(geos) != n_streams:
+                raise ValueError(
+                    f"got {len(geos)} geometries for {n_streams} streams"
+                )
+            base = geos[0]
+            for i, g in enumerate(geos[1:], 1):
+                if not (
+                    np.array_equal(g.squares.heights, base.squares.heights)
+                    and np.array_equal(g.squares.widths, base.squares.widths)
+                    and (g.src_h, g.src_w) == (base.src_h, base.src_w)
+                ):
+                    raise ValueError(
+                        f"stream {i}: per-stream geometries must share the "
+                        "grid structure (square heights/widths) and capture "
+                        "resolution; only corners/homography may differ"
+                    )
+        else:
+            base, geos = geometry, None
         self.pipe = VisionPipeline(
-            geometry,
+            base,
             piece_settings=piece_settings,
             with_change_detector=with_change_detector,
             donate_state=False,  # donation handled on the batched jit below
         )
+        if geos is not None:
+            from chessboard_vision_tpu.ops import matmul_resample as mr
+
+            self._stream_plans = []
+            for g in geos:
+                qx, qy = g.square_query_coords()
+                self._stream_plans.append(mr.build_plan(qx, qy, g.src_h, g.src_w))
+            # All plans produce (64, Qr, Qc) samples of the shared grid
+            # structure; each carries its own static dims (band/region).
+        else:
+            self._stream_plans = None
 
         def one_stream(state: MultiStreamState, frame, s2c_mask, s2c_given, refresh, consts):
             pipe_state, out = self.pipe._step_impl(
@@ -64,10 +100,33 @@ class MultiStreamPipeline:
             noise_state, noise_out = fsm_ops.noise_step(state.noise, out.visual_changes)
             return MultiStreamState(pipe_state, noise_state), MultiStreamOutputs(out, noise_out)
 
+        def one_core(state: MultiStreamState, gray, s2c_mask, s2c_given, refresh, consts):
+            pipe_state, out = self.pipe._step_core(
+                state.pipe, gray, s2c_mask, s2c_given, refresh, consts
+            )
+            noise_state, noise_out = fsm_ops.noise_step(state.noise, out.visual_changes)
+            return MultiStreamState(pipe_state, noise_state), MultiStreamOutputs(out, noise_out)
+
+        def tick(state, frames, s2c_mask, s2c_given, refresh, consts, plans):
+            """One tick for all N streams; geometry handled per stream."""
+            if plans is None:
+                return jax.vmap(one_stream, in_axes=(0, 0, 0, 0, 0, None))(
+                    state, frames, s2c_mask, s2c_given, refresh, consts
+                )
+            gray = self._extract_squares_per_stream(frames, plans)
+            return jax.vmap(one_core, in_axes=(0, 0, 0, 0, 0, None))(
+                state, gray, s2c_mask, s2c_given, refresh, consts
+            )
+
         # Device constants enter as (replicated) arguments, not closure
-        # literals — see models/pipeline.StepConsts.
-        batched = jax.vmap(one_stream, in_axes=(0, 0, 0, 0, 0, None))
-        self._step = jax.jit(batched, donate_argnums=(0,))
+        # literals — see models/pipeline.StepConsts. The per-stream plans
+        # ARE closure state of the jitted callables (their static region
+        # offsets shape the program), so one program per geometry set.
+        def step_fn(state, frames, s2c_mask, s2c_given, refresh, consts):
+            return tick(state, frames, s2c_mask, s2c_given, refresh, consts,
+                        self._stream_plans)
+
+        self._step = jax.jit(step_fn, donate_argnums=(0,))
 
         def chunk(state, frames, s2c_mask, s2c_given, refresh, consts):
             # lax.scan over T ticks of the vmapped step: one dispatch + one
@@ -76,18 +135,39 @@ class MultiStreamPipeline:
             # batched configuration).
             def body(st, xs):
                 fr, m, g, r = xs
-                st, out = batched(st, fr, m, g, r, consts)
+                st, out = step_fn(st, fr, m, g, r, consts)
                 return st, out
 
             return jax.lax.scan(body, state, (frames, s2c_mask, s2c_given, refresh))
 
         self._step_chunk = jax.jit(chunk, donate_argnums=(0,))
-        self._capture = jax.jit(
-            jax.vmap(
-                lambda st, fr, c: self.pipe._capture_impl(st, fr, c),
-                in_axes=(0, 0, None),
-            )
-        )
+
+        def capture_fn(state, frames, consts):
+            if self._stream_plans is None:
+                return jax.vmap(
+                    lambda st, fr, c: self.pipe._capture_impl(st, fr, c),
+                    in_axes=(0, 0, None),
+                )(state, frames, consts)
+            gray = self._extract_squares_per_stream(frames, self._stream_plans)
+            return jax.vmap(self.pipe._capture_core)(state, gray)
+
+        self._capture = jax.jit(capture_fn)
+
+    def _extract_squares_per_stream(self, frames, plans):
+        """(N, 3, Hf, Wf) planar frames -> (N, 64, H, W) preprocessed gray,
+        each stream resampled with ITS static plan (static slices stay
+        static — a vmapped dynamic variant would lower to TPU's serializing
+        gathers), then one batched Gaussian over all streams."""
+        from chessboard_vision_tpu.ops import matmul_resample as mr
+        from chessboard_vision_tpu.ops.color import planar_bgr2gray
+        from chessboard_vision_tpu.ops.filters import gaussian_blur_valid
+
+        gray_frames = planar_bgr2gray(frames)  # (N, Hf, Wf)
+        squares = jnp.stack([
+            mr.resample_gray_u8(gray_frames[i], plan, dims)
+            for i, (plan, dims) in enumerate(plans)
+        ])  # (N, 64, H+4, W+4)
+        return gaussian_blur_valid(squares, 5)
 
     def init_state(self) -> MultiStreamState:
         def stack(leaf):
@@ -108,9 +188,23 @@ class MultiStreamPipeline:
                 state = mesh_lib.shard_pytree_leading_axis(state, self.mesh)
         return state
 
+    def _prep_frames(self, frames):
+        """Host HWC -> planar conversion for the per-stream-geometry mode
+        (its extraction path is planar-only); shared-geometry mode accepts
+        both layouts (the HWC branch is the bit-exact oracle path)."""
+        if (
+            self._stream_plans is not None
+            and isinstance(frames, np.ndarray)
+            and frames.ndim == 4
+            and frames.shape[-1] == 3
+        ):
+            from chessboard_vision_tpu.ops import static_resample as sr
+
+            frames = np.stack([sr.to_planar(f) for f in frames])
+        return self._place(jnp.asarray(frames))
+
     def capture_reference(self, state: MultiStreamState, frames) -> MultiStreamState:
-        frames = jnp.asarray(frames)
-        pipe = self._capture(state.pipe, self._place(frames), self.pipe._consts)
+        pipe = self._capture(state.pipe, self._prep_frames(frames), self.pipe._consts)
         return MultiStreamState(pipe=pipe, noise=state.noise)
 
     def _place(self, arr):
@@ -129,7 +223,7 @@ class MultiStreamPipeline:
     ):
         """One tick for all N streams. frames: (N, H, W, 3) u8."""
         n = self.n_streams
-        frames = self._place(jnp.asarray(frames))
+        frames = self._prep_frames(frames)
         if s2c_masks is None:
             s2c_mask = jnp.zeros((n, 64), bool)
             s2c_given = jnp.zeros((n,), bool)
