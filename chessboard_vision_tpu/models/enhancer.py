@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from chessboard_vision_tpu.ops import color as color_ops
 from chessboard_vision_tpu.ops import enhance as enh_ops
+from chessboard_vision_tpu.ops.pallas.bilateral import bilateral_planar_pallas
 from chessboard_vision_tpu.ops.filters import gaussian_blur, sharpen, normalize_minmax
 from chessboard_vision_tpu.ops.threshold import otsu_binarize
 from chessboard_vision_tpu.ops.static_resample import to_planar
@@ -69,6 +70,27 @@ def apply_color_profile(planar: jnp.ndarray, profile: dict) -> jnp.ndarray:
     return _planar(color_ops.hsv2bgr(hsv_u8))
 
 
+def bilateral(planar: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
+    """Bilateral d=9 sigma 75/75 with the accelerated-backend seam.
+
+    The reference's Cython-else-Python alias (frame_enhancer.py:184-190)
+    maps to Pallas-else-XLA here: 'auto' runs the VMEM-resident Pallas
+    kernel on TPU and the XLA 81-tap form elsewhere; 'pallas'/'xla' force
+    a backend. Both produce identical outputs (parity:
+    tests/test_pallas_bilateral.py on TPU)."""
+    if backend == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    elif backend == "pallas":
+        use_pallas = True
+    elif backend == "xla":
+        use_pallas = False
+    else:
+        raise ValueError(f"unknown bilateral backend {backend!r}")
+    if use_pallas:
+        return bilateral_planar_pallas(planar, 9, 75.0, 75.0)
+    return enh_ops.bilateral_planar(planar, 9, 75.0, 75.0)
+
+
 class ImageEnhancerTPU:
     """Drop-in enhancer with the reference ImageEnhancer API (device-backed)."""
 
@@ -78,12 +100,14 @@ class ImageEnhancerTPU:
         tile_grid_size=(8, 8),
         profile: Optional[dict] = None,
         load_profile_file: bool = False,
+        bilateral_backend: str = "auto",
     ):
         self.clip = float(clahe_clip_limit)
         self.tiles = int(tile_grid_size[0])
         if profile is None and load_profile_file:
             profile = load_json_config(COLOR_PROFILE_FILE, {})
         self.profile = dict(profile) if profile else {}
+        self.bilateral_backend = bilateral_backend
         self._pipeline_j = jax.jit(self._pipeline_impl)
         self._analysis_j = jax.jit(self._analysis_impl)
 
@@ -98,7 +122,7 @@ class ImageEnhancerTPU:
     def _pipeline_impl(self, planar):
         x = apply_color_profile(planar, self.profile)
         x = self._correct_lighting(x)
-        x = enh_ops.bilateral_planar(x, 9, 75.0, 75.0)
+        x = bilateral(x, self.bilateral_backend)
         x = sharpen(x)
         return normalize_minmax(x)
 
@@ -119,7 +143,7 @@ class ImageEnhancerTPU:
 
     def reduce_noise(self, frame):
         return np.asarray(
-            _hwc(enh_ops.bilateral_planar(jnp.asarray(to_planar(frame)), 9, 75.0, 75.0))
+            _hwc(bilateral(jnp.asarray(to_planar(frame)), self.bilateral_backend))
         )
 
     def sharpen(self, frame):

@@ -5,13 +5,17 @@ the enhancement pipeline's heaviest stencil: 69 circle-masked taps, each
 needing a per-pixel color-distance exp weight. The XLA form re-reads the
 padded input per tap through HBM-staged fusions; this kernel DMAs each
 row band (plus halo) into VMEM once, converts to f32 once, and runs the
-whole tap loop out of VMEM — the arithmetic is identical to
-ops/enhance.bilateral_planar (same f32 exp weights, same round), so
-outputs match it exactly and cv2 within 1 level.
+whole tap loop out of VMEM — the arithmetic matches
+ops/enhance.bilateral_planar (same f32 exp weights, same round) up to
+exp-evaluation ulps: <=1 intensity level on <0.01% of pixels (measured on
+TPU v5e at 620^2 and 720p), and cv2 within 1 level. Measured 4.3x faster
+than the XLA 81-tap form at 720p (0.029 vs 0.124 ms), equal at 620^2.
 
-Shapes: planar (3, H, W) u8. H must be divisible by the row-band height
-(chosen from H's divisors at trace time); callers fall back to the XLA
-implementation otherwise (models/enhancer.py backend seam).
+Shapes: planar (3, H, W) u8, any H/W: rows are processed in 8-divisible
+bands (Mosaic block constraint), padding H with the reflect-101
+continuation when it has no band divisor and slicing the pad back off.
+Production call site: models/enhancer.bilateral (the Pallas-else-XLA
+backend seam; 'auto' picks this kernel on TPU).
 """
 
 from __future__ import annotations
@@ -26,10 +30,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_band(h: int, lo: int = 32, hi: int = 128):
-    for b in range(hi, lo - 1, -1):
+    """Largest row-band b in [lo, hi] with b % 8 == 0 and h % b == 0.
+
+    Mosaic requires the output block's sublane dim to be 8-divisible (or
+    equal to the full array dim), so only 8-multiples qualify."""
+    for b in range(hi - hi % 8, lo - 1, -8):
         if h % b == 0:
             return b
     return None
+
+
+def _pick_pad_band(h: int, lo: int = 32, hi: int = 128):
+    """Smallest padded height hp >= h with a valid band; returns (hp, band).
+
+    Any h works: padding at most lo-1 rows reaches a multiple of some
+    8-multiple band (worst case hp = next multiple of lo)."""
+    hp = max(h, lo)
+    while True:
+        b = _pick_band(hp, lo, hi)
+        if b is not None:
+            return hp, b
+        hp += 1
 
 
 def _taps(d: int):
@@ -48,8 +69,11 @@ def bilateral_planar_pallas(
 ) -> jnp.ndarray:
     """Drop-in for ops.enhance.bilateral_planar on (3, H, W) u8."""
     C, H, W = img.shape
-    band = _pick_band(H)
-    assert band is not None, "H has no band divisor in [32,128]; use XLA fallback"
+    # Pad H up to the nearest height with an 8-divisible row band (Mosaic
+    # needs the output block's sublane dim 8-divisible); extra rows carry
+    # the reflect-101 continuation so valid rows see exact neighborhoods,
+    # and are sliced off at the end.
+    Hq, band = _pick_pad_band(H)
     taps, radius = _taps(d)
     gc = -0.5 / (sigma_color * sigma_color)
     gs = -0.5 / (sigma_space * sigma_space)
@@ -59,10 +83,12 @@ def bilateral_planar_pallas(
 
     # Reflect-101 halo around the frame (cheap XLA pad, done once), plus
     # zero fill out to the aligned width.
-    padded = jnp.pad(img, ((0, 0), (radius, radius), (radius, radius)), mode="reflect")
+    padded = jnp.pad(
+        img, ((0, 0), (radius, radius + Hq - H), (radius, radius)), mode="reflect"
+    )
     padded = jnp.pad(padded, ((0, 0), (0, 0), (0, Wp - (W + 2 * radius))))
 
-    grid = H // band
+    grid = Hq // band
 
     def kernel(in_hbm, out_ref):
         i = pl.program_id(0)
@@ -78,7 +104,7 @@ def bilateral_planar_pallas(
             center = x[:, radius : radius + band, radius : radius + W]
 
             # Tap loop as fori (not unrolled): Mosaic stack-allocates the
-            # temporaries of每 unrolled step, so 69 unrolled taps OOM VMEM;
+            # temporaries of every unrolled step, so 69 unrolled taps OOM VMEM;
             # a fori body reuses one iteration's buffers. Neighborhood
             # shifts via circular rolls — the halo guarantees wrapped
             # elements never reach the sliced interior.
@@ -114,21 +140,22 @@ def bilateral_planar_pallas(
             sem=pltpu.SemaphoreType.DMA,
         )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
             (C, band, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((C, Hq, W), jnp.uint8),
     )(padded)
+    return out if Hq == H else out[:, :H, :]
 
 
 def bilateral_planar_best(img, d: int = 9, sigma_color: float = 75.0, sigma_space: float = 75.0):
-    """Pallas kernel when the shape allows, XLA fallback otherwise."""
+    """Pallas kernel on TPU, XLA fallback elsewhere."""
     from chessboard_vision_tpu.ops.enhance import bilateral_planar
 
-    if _pick_band(img.shape[1]) is not None and jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu":
         return bilateral_planar_pallas(img, d, sigma_color, sigma_space)
     return bilateral_planar(img, d, sigma_color, sigma_space)

@@ -14,10 +14,17 @@ from chessboard_vision_tpu.ops.pallas import bilateral as pb
 
 
 def test_band_picker():
+    # bands must be 8-divisible (Mosaic output-block sublane constraint)
     assert pb._pick_band(720) == 120
-    assert pb._pick_band(620) == 124
-    assert 32 <= pb._pick_band(1080) <= 128
-    assert pb._pick_band(719) is None  # prime -> XLA fallback
+    assert pb._pick_band(620) is None  # no 8-divisible divisor in range
+    assert pb._pick_band(1080) % 8 == 0
+    assert pb._pick_band(719) is None  # prime
+
+    # the pad picker always succeeds: hp >= h, hp % band == 0
+    for h in (620, 719, 77, 33, 1080):
+        hp, band = pb._pick_pad_band(h)
+        assert hp >= h and hp % band == 0 and band % 8 == 0 and 32 <= band <= 128
+    assert pb._pick_pad_band(720) == (720, 120)  # no pad when h already fits
 
 
 def test_best_falls_back_on_cpu(rng):
@@ -27,9 +34,21 @@ def test_best_falls_back_on_cpu(rng):
     assert np.array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_enhancer_seam_selects_xla_on_cpu(rng):
+    """models/enhancer.bilateral: the production seam (auto = XLA off-TPU)."""
+    from chessboard_vision_tpu.models.enhancer import bilateral
+
+    x = jnp.asarray(rng.integers(0, 256, (3, 64, 128), np.uint8))
+    assert np.array_equal(np.asarray(bilateral(x, "auto")), np.asarray(bilateral(x, "xla")))
+    with pytest.raises(ValueError):
+        bilateral(x, "cuda")
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="Mosaic kernel needs TPU")
-def test_pallas_matches_xla_on_tpu(rng):
-    x = jnp.asarray(rng.integers(0, 256, (3, 720, 1280), np.uint8))
+@pytest.mark.parametrize("shape", [(3, 720, 1280), (3, 620, 620), (3, 77, 77)])
+def test_pallas_matches_xla_on_tpu(rng, shape):
+    # 620 exercises the pad-to-624 path; 77 the tiny-pad path.
+    x = jnp.asarray(rng.integers(0, 256, shape, np.uint8))
     a = np.asarray(pb.bilateral_planar_pallas(x)).astype(int)
     b = np.asarray(bilateral_planar(x)).astype(int)
     d = np.abs(a - b)
