@@ -31,12 +31,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(display_size, corners):
+def build(display_size, corners, **kw):
     from chessboard_vision_tpu import geometry as geo
     from chessboard_vision_tpu.models.pipeline import VisionPipeline
 
     g = geo.BoardGeometry.from_calibration(corners, display_size=display_size)
-    return VisionPipeline(g)
+    return VisionPipeline(g, **kw)
 
 
 def synth_frame(rng, h, w):
@@ -69,6 +69,12 @@ def synth_frame(rng, h, w):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry", action="store_true", help="tiny CPU-friendly run")
+    ap.add_argument(
+        "--enhance", action="store_true",
+        help="measure the with_enhancer pipeline (BASELINE config-1: the "
+        "5-stage enhancement fused ahead of detection) and report it as "
+        "the headline metric",
+    )
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--chunk", type=int, default=16, help="frames per device dispatch")
     ap.add_argument("--streams", type=int, default=8, help="batched-stream secondary bench")
@@ -98,7 +104,7 @@ def main():
     frame, (x0, y0, bs) = synth_frame(rng, h, w)
     corners = np.array([[x0, y0], [x0 + bs, y0], [x0, y0 + bs], [x0 + bs, y0 + bs]])
     log(f"devices: {jax.devices()}")
-    pipe = build((w, h), corners)
+    pipe = build((w, h), corners, with_enhancer=args.enhance)
     state = pipe.init_state()
 
     from chessboard_vision_tpu.ops.static_resample import to_planar
@@ -156,8 +162,9 @@ def main():
     per_frame = wall / iters
     fps = 1.0 / per_frame
     assert n_fens == iters
-    log(f"single-stream (chunk {K}, depth {DEPTH}): {per_frame * 1e3:.2f} ms/frame  "
-        f"fps {fps:.1f}  fen={fen.split()[0]}")
+    variant = "enhanced " if args.enhance else ""
+    log(f"single-stream {variant}(chunk {K}, depth {DEPTH}): "
+        f"{per_frame * 1e3:.2f} ms/frame  fps {fps:.1f}  fen={fen.split()[0]}")
 
     if args.trace:
         jax.profiler.start_trace(args.trace)
@@ -214,8 +221,9 @@ def main():
     except Exception as e:  # secondary metric must not break the bench
         log(f"batched bench skipped: {e}")
 
+    metric = "fps_1080p_enhanced_frame_to_fen" if args.enhance else "fps_1080p_frame_to_fen"
     print(json.dumps({
-        "metric": "fps_1080p_frame_to_fen",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 500.0, 3),

@@ -315,6 +315,30 @@ class BoardGeometry:
         qy = self.warp_Y[self.squares.iy, self.squares.ix]
         return qx, qy
 
+    def board_tile_query_coords(self):
+        """Source-frame coords for the warped board as 64 overlapping tiles.
+
+        The full (B, B) board warp can't ride the matmul resampler in one
+        piece (the per-output-row column-weight tensor would be O(B^2 * W)),
+        so the board is tiled 8x8 with tile size T = ceil(B / 8); the last
+        row/column of tiles overlaps its neighbor so T*8 >= B without
+        sampling outside the board. Returns (qx, qy, starts, T): qx/qy are
+        (64, T, T) source coords (tile t = r*8+c covers board rows
+        starts[r]:starts[r]+T, cols starts[c]:starts[c]+T);
+        ``assemble_board_from_tiles`` inverts the tiling.
+        """
+        B = self.board_size
+        T = -(-B // 8)
+        starts = tuple(min(i * T, B - T) for i in range(8))
+        qx = np.empty((64, T, T), np.float32)
+        qy = np.empty((64, T, T), np.float32)
+        for r in range(8):
+            for c in range(8):
+                sr, sc = starts[r], starts[c]
+                qx[r * 8 + c] = self.warp_X[sr : sr + T, sc : sc + T]
+                qy[r * 8 + c] = self.warp_Y[sr : sr + T, sc : sc + T]
+        return qx, qy, starts, T
+
     @classmethod
     def from_calibration(
         cls,

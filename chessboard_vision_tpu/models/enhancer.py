@@ -91,6 +91,31 @@ def bilateral(planar: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     return enh_ops.bilateral_planar(planar, 9, 75.0, 75.0)
 
 
+def enhance_planar(
+    planar: jnp.ndarray,
+    profile: Optional[dict] = None,
+    clahe_clip: float = 3.0,
+    clahe_tiles: int = 8,
+    bilateral_backend: str = "auto",
+) -> jnp.ndarray:
+    """The full 5-stage enhancement on a (3, H, W) u8 planar image.
+
+    Free-function form of the reference process_pipeline
+    (frame_enhancer.py:161-181): color profile -> CLAHE on LAB-L ->
+    bilateral -> sharpen -> min-max normalize. Pure and jit-safe — used by
+    ImageEnhancerTPU and fused ahead of detection by
+    VisionPipeline(with_enhancer=True).
+    """
+    x = apply_color_profile(planar, profile or {})
+    lab = color_ops.bgr2lab(_hwc(x))
+    l_enh = enh_ops.clahe(lab[..., 0], clahe_clip, clahe_tiles)
+    lab2 = jnp.concatenate([l_enh[..., None], lab[..., 1:]], axis=-1)
+    x = _planar(color_ops.lab2bgr(lab2))
+    x = bilateral(x, bilateral_backend)
+    x = sharpen(x)
+    return normalize_minmax(x)
+
+
 class ImageEnhancerTPU:
     """Drop-in enhancer with the reference ImageEnhancer API (device-backed)."""
 
@@ -120,11 +145,9 @@ class ImageEnhancerTPU:
         return _planar(color_ops.lab2bgr(lab2))
 
     def _pipeline_impl(self, planar):
-        x = apply_color_profile(planar, self.profile)
-        x = self._correct_lighting(x)
-        x = bilateral(x, self.bilateral_backend)
-        x = sharpen(x)
-        return normalize_minmax(x)
+        return enhance_planar(
+            planar, self.profile, self.clip, self.tiles, self.bilateral_backend
+        )
 
     def _analysis_impl(self, planar):
         gray = color_ops.bgr2gray(_hwc(planar))

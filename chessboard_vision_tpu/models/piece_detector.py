@@ -105,7 +105,10 @@ def _stable_detection(hist, hist_len):
 
 @partial(
     jax.jit,
-    static_argnames=("bounds", "use_smoothing", "use_delta", "hough_backend", "conv_dims"),
+    static_argnames=(
+        "bounds", "use_smoothing", "use_delta", "hough_backend", "conv_dims",
+        "hough_param1", "hough_param2", "center_diff_threshold",
+    ),
 )
 def detect_all(
     state: PieceState,
@@ -120,6 +123,9 @@ def detect_all(
     hough_backend: str = "exact",
     conv_plan=None,
     conv_dims=None,
+    hough_param1: int = 100,
+    hough_param2: int = 25,
+    center_diff_threshold: float = 40.0,
 ) -> Tuple[PieceState, DetectAllOutputs]:
     """One detect_all_pieces step. gray: (64, H, W) u8 preprocessed squares."""
     changed = _mean_diff_exceeds(
@@ -135,6 +141,8 @@ def detect_all(
     fresh = piece_ops.detect_pieces(
         gray, masks, params, bounds,
         hough_backend=hough_backend, conv_plan=conv_plan, conv_dims=conv_dims,
+        hough_param1=hough_param1, hough_param2=hough_param2,
+        center_diff_threshold=center_diff_threshold,
     )
 
     raw_has = jnp.where(use_fresh, fresh.has_piece, state.cache_has)

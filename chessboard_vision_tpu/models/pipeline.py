@@ -33,6 +33,7 @@ from chessboard_vision_tpu.ops.filters import gaussian_blur_valid
 from chessboard_vision_tpu.ops import static_resample as sr
 from chessboard_vision_tpu.ops import matmul_resample as mr
 from chessboard_vision_tpu.models import piece_detector as pd_model
+from chessboard_vision_tpu.models.enhancer import enhance_planar
 
 
 class PipelineState(NamedTuple):
@@ -53,6 +54,10 @@ class StepConsts(NamedTuple):
     params: hough_ops.HoughParams
     conv_plan: Optional[hough_conv_ops.ConvHoughPlan]
     mm_plan: mr.MatmulResamplePlan
+    # with_enhancer path only (None otherwise): board-tile color warp plan
+    # and the exact board->squares extraction plan.
+    enh_tile_plan: Optional[mr.MatmulResamplePlan] = None
+    enh_ext_plan: Optional[mr.MatmulResamplePlan] = None
 
 
 class StepOutputs(NamedTuple):
@@ -65,6 +70,11 @@ class StepOutputs(NamedTuple):
     change_intensity: jnp.ndarray  # (64,) i32 (0 if change detection off)
     change_pct: jnp.ndarray  # (64,) f32
     change_z_peak: jnp.ndarray  # (64,) f32
+    center_mean: jnp.ndarray  # (64,) f32 — mean gray over the center disc
+    corner_mean: jnp.ndarray  # (64,) f32 — mean gray over the corner
+    # (background) regions. center/corner feed the host-side light/dark
+    # piece-color classifier (rules.classify_piece_colors -> colored FEN);
+    # the corner mean normalizes out illumination (shadow/glare).
 
 
 class VisionPipeline:
@@ -82,6 +92,10 @@ class VisionPipeline:
         change_settings: Optional[dict] = None,
         donate_state: bool = True,
         hough_backend: str = "auto",
+        with_enhancer: bool = False,
+        enhancer_profile: Optional[dict] = None,
+        bilateral_backend: str = "auto",
+        detector_overrides: Optional[dict] = None,
     ):
         self.geometry = geometry
         self.dg = warp_ops.DeviceGeometry.from_host(geometry)
@@ -122,11 +136,71 @@ class VisionPipeline:
         qx, qy = geometry.square_query_coords()
         self._mm_plan, self._mm_dims = mr.build_plan(qx, qy, geometry.src_h, geometry.src_w)
 
+        # Optional fused enhancement ahead of detection (VERDICT item 7;
+        # reference frame_enhancer.py:161-181 run on the warped board, the
+        # stage game_session.py:86 constructs but never wires into the
+        # loop). Needs a COLOR board: a second matmul-resample plan warps
+        # the frame to 64 overlapping board tiles per channel, the enhanced
+        # board is grayscaled, and a third (integer-coordinate, bit-exact)
+        # plan extracts the padded squares from board space.
+        self.with_enhancer = with_enhancer
+        self.enhancer_profile = dict(enhancer_profile) if enhancer_profile else {}
+        self.bilateral_backend = bilateral_backend
+        if with_enhancer:
+            tqx, tqy, self._tile_starts, _ = geometry.board_tile_query_coords()
+            enh_tile_plan, self._tile_dims = mr.build_plan(
+                tqx, tqy, geometry.src_h, geometry.src_w
+            )
+            # Integer query coords = the square gather maps themselves, so
+            # the mm resample reproduces board[sq_iy, sq_ix] exactly. src is
+            # declared one pixel larger (and the board edge-padded at run
+            # time) so the +1 bilinear tap of last-row/col anchors stays in
+            # range instead of tripping the out-of-source zero mask.
+            s = geometry.squares
+            enh_ext_plan, self._ext_dims = mr.build_plan(
+                s.ix.astype(np.float32), s.iy.astype(np.float32),
+                geometry.board_size + 1, geometry.board_size + 1,
+            )
+        else:
+            enh_tile_plan = enh_ext_plan = None
+            self._tile_dims = self._ext_dims = self._tile_starts = None
+
         self.with_change = with_change_detector
         cs = change_settings or {}
         self.z_threshold = float(cs.get("z_threshold", 2.5))
         self.initial_variance = float(cs.get("initial_variance", 100.0))
         self.alpha = float(cs.get("alpha", 0.1))
+        # The change detector's own preprocessing blur (reference
+        # change_detector.py:49-56 takes a configurable odd kernel; the
+        # piece path keeps its fixed 5). Kernels above 5 need a geometry
+        # built with a wider baked-in border (blur_pad >= kernel//2).
+        self.change_blur = int(cs.get("blur_kernel", 5))
+        if self.change_blur % 2 == 0:
+            raise ValueError(f"blur_kernel must be odd, got {self.change_blur}")
+        if self.change_blur // 2 > self._pad:
+            raise ValueError(
+                f"blur_kernel {self.change_blur} needs geometry blur_pad >= "
+                f"{self.change_blur // 2} (have {self._pad}); rebuild with "
+                f"BoardGeometry.from_calibration(..., blur_pad={self.change_blur // 2})"
+            )
+
+        # Detector threshold overrides for the calibrator tools ONLY. The
+        # settings-file quirk is preserved (piece_settings JSON honors just
+        # min/max radius, reference piece_detector.py:58-65); the reference
+        # calibrator bypasses load_settings by assigning detector attributes
+        # directly (calibrate_piece_detector.py:139-335) — this is that
+        # seam. Recognized keys: hough_param1, hough_param2,
+        # center_diff_threshold. Both hough backends share param2's
+        # vote-count semantics (the conv backend verifies its proposal
+        # with cv2-style ray votes — ops/hough_conv.find_circle).
+        ov = detector_overrides or {}
+        self._det_kwargs = {}
+        if "hough_param1" in ov:
+            self._det_kwargs["hough_param1"] = int(ov["hough_param1"])
+        if "hough_param2" in ov:
+            self._det_kwargs["hough_param2"] = int(ov["hough_param2"])
+        if "center_diff_threshold" in ov:
+            self._det_kwargs["center_diff_threshold"] = float(ov["center_diff_threshold"])
 
         # Constant device inputs reused across steps (avoid per-frame H2D).
         self._zero_mask64 = jnp.zeros((64,), bool)
@@ -139,6 +213,8 @@ class VisionPipeline:
             params=self.params,
             conv_plan=self.conv_plan,
             mm_plan=self._mm_plan,
+            enh_tile_plan=enh_tile_plan,
+            enh_ext_plan=enh_ext_plan,
         )
 
         donate = (0,) if donate_state else ()
@@ -165,15 +241,40 @@ class VisionPipeline:
         path, bit-exact channel-wise warp for the oracle parity tests).
         Gray conversion is linear, so the two differ only by per-channel
         u8 rounding order (<=1 intensity level; decisions unaffected).
+
+        with_enhancer inserts the 5-stage enhancement on the warped COLOR
+        board before grayscale + detection (still one XLA call): planar
+        frames ride the board-tile matmul warp, HWC frames the exact
+        gather warp.
         """
-        if frame.ndim == 3 and frame.shape[0] == 3:
+        planar_in = frame.ndim == 3 and frame.shape[0] == 3
+        if self.with_enhancer:
+            if planar_in:
+                board = mr.warp_board_color(
+                    frame, consts.enh_tile_plan, self._tile_dims,
+                    self._tile_starts, self.geometry.board_size,
+                )  # (3, B, B) u8
+            else:
+                board = jnp.moveaxis(warp_ops.frame_to_board(frame, consts.dg), -1, 0)
+            board = enhance_planar(
+                board, self.enhancer_profile, bilateral_backend=self.bilateral_backend
+            )
+            grayb = planar_bgr2gray(board)  # (B, B) u8
+            grayb = jnp.pad(grayb, ((0, 1), (0, 1)), mode="edge")
+            gray_padded = mr.resample_gray_u8(grayb, consts.enh_ext_plan, self._ext_dims)
+        elif planar_in:
             gray_frame = planar_bgr2gray(frame)
             gray_padded = mr.resample_gray_u8(gray_frame, consts.mm_plan, self._mm_dims)
         else:
             board = warp_ops.frame_to_board(frame, consts.dg)
             squares_padded = warp_ops.extract_squares(board, consts.dg)
             gray_padded = bgr2gray(squares_padded)
-        return gaussian_blur_valid(gray_padded, 5)  # (64, H, W)
+        gray = gaussian_blur_valid(gray_padded, 5, pad=self._pad)  # (64, H, W)
+        if self.change_blur != 5:
+            gray_cd = gaussian_blur_valid(gray_padded, self.change_blur, pad=self._pad)
+        else:
+            gray_cd = gray
+        return gray, gray_cd
 
     def _step_impl(
         self,
@@ -188,10 +289,10 @@ class VisionPipeline:
     ):
         if consts is None:  # convenience for direct (non-jitted) callers
             consts = self._consts
-        gray = self._preprocess(frame, consts)
+        gray, gray_cd = self._preprocess(frame, consts)
         return self._step_core(
             state, gray, s2c_mask, s2c_given, refresh_refs, consts,
-            use_smoothing=use_smoothing, use_delta=use_delta,
+            use_smoothing=use_smoothing, use_delta=use_delta, gray_change=gray_cd,
         )
 
     def _step_core(
@@ -204,11 +305,14 @@ class VisionPipeline:
         consts: StepConsts,
         use_smoothing: bool = True,
         use_delta: bool = True,
+        gray_change: Optional[jnp.ndarray] = None,
     ):
         """Everything after preprocessing: detection cascade, change model,
         temporal state. Split out so callers with their own square
         extraction (per-stream calibration geometries in the batched
-        pipeline) can vmap the geometry-independent core."""
+        pipeline) can vmap the geometry-independent core. ``gray_change``
+        is the change detector's own-blur preprocessing (defaults to the
+        shared 5-kernel gray)."""
         # Post-move forced re-reference (reference game_session.py:221:
         # update_references + cache clear), applied with this frame's gray
         # inside the same XLA call so the noise FSM sees no phantom changes.
@@ -232,15 +336,17 @@ class VisionPipeline:
             hough_backend=self.hough_backend,
             conv_plan=consts.conv_plan,
             conv_dims=self.conv_dims,
+            **self._det_kwargs,
         )
 
+        gcd = gray if gray_change is None else gray_change
         if self.with_change:
             cdet = change_ops.detect(
-                state.change, gray, self.z_threshold,
+                state.change, gcd, self.z_threshold,
                 consts.dg.sq_mask, consts.dg.sq_counts,
             )
             change_state = change_ops.update_references(
-                state.change, gray, self.alpha, jnp.ones((gray.shape[0],), bool)
+                state.change, gcd, self.alpha, jnp.ones((gcd.shape[0],), bool)
             )
             intensity, pct, zpeak = cdet.intensity, cdet.pct_changed, cdet.z_peak
         else:
@@ -260,6 +366,12 @@ class VisionPipeline:
             change_intensity=intensity,
             change_pct=pct,
             change_z_peak=zpeak,
+            center_mean=warp_ops.masked_mean(
+                gray, consts.masks.center_disk, consts.masks.center_counts
+            ),
+            corner_mean=warp_ops.masked_mean(
+                gray, consts.masks.corners, consts.masks.corner_counts
+            ),
         )
         return PipelineState(piece=piece_state, change=change_state), outputs
 
@@ -297,11 +409,14 @@ class VisionPipeline:
 
     def _capture_impl(self, state: PipelineState, frame: jnp.ndarray,
                       consts: StepConsts) -> PipelineState:
-        return self._capture_core(state, self._preprocess(frame, consts))
+        gray, gray_cd = self._preprocess(frame, consts)
+        return self._capture_core(state, gray, gray_cd)
 
-    def _capture_core(self, state: PipelineState, gray: jnp.ndarray) -> PipelineState:
+    def _capture_core(self, state: PipelineState, gray: jnp.ndarray,
+                      gray_change: Optional[jnp.ndarray] = None) -> PipelineState:
         piece = pd_model.update_references(state.piece, gray)
-        change = change_ops.calibrate(gray, self.initial_variance)
+        gcd = gray if gray_change is None else gray_change
+        change = change_ops.calibrate(gcd, self.initial_variance)
         return PipelineState(piece=piece, change=change)
 
     # -- host API --------------------------------------------------------

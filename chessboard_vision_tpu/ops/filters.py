@@ -88,16 +88,28 @@ def _gauss_u8_valid(x, kq):
     return ((out + (1 << 15)) >> 16).astype(jnp.uint8)
 
 
-def gaussian_blur_valid(x: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray:
+def gaussian_blur_valid(
+    x: jnp.ndarray, ksize: int, sigma: float = 0.0, pad: int = None
+) -> jnp.ndarray:
     """Gaussian blur in 'valid' mode: input already carries its border.
 
     Used on the squares tensor, whose per-square reflect-101 border is baked
-    into the extraction gather (geometry.build_square_maps with pad=ksize//2)
-    so the result equals cv2.GaussianBlur run on each true crop.
-    Output shrinks by ksize-1 in each spatial dim.
+    into the extraction gather (geometry.build_square_maps with
+    pad >= ksize//2) so the result equals cv2.GaussianBlur run on each true
+    crop. With pad omitted (or == ksize//2) the output simply shrinks by
+    ksize-1; a larger ``pad`` (border wider than this kernel needs — e.g.
+    geometry built for a bigger change-detector blur kernel) center-crops
+    the excess so the output is always the true crop's size.
     """
     kq = tuple(int(v) for v in gaussian_kernel_u8(ksize, sigma))
-    return _gauss_u8_valid(x, kq)
+    out = _gauss_u8_valid(x, kq)
+    if pad is not None:
+        off = pad - ksize // 2
+        if off < 0:
+            raise ValueError(f"pad {pad} too small for kernel {ksize}")
+        if off:
+            out = out[..., off : out.shape[-2] - off, off : out.shape[-1] - off]
+    return out
 
 
 def filter2d_int(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:

@@ -6,15 +6,22 @@ to a serialized loop on TPU (~7 ns/vote — the exact voting transform costs
 geometry as convolutions the MXU executes in ~1 ms:
 
 An edge pixel p with unit gradient g votes for centers c with |p-c| ~ r
-and (p-c) parallel to g. Relaxing the parallel constraint to a cos^2
-weighting makes the vote separable:
+and (p-c) parallel to g. Relaxing the parallel constraint to an angular
+weighting makes the vote separable. The weight is cos(2*theta) (theta =
+angle between g and u = (c-p)/|c-p|): +1 for radially-aligned gradients
+(true circle edges), -1 for tangential ones — so straight edges crossing
+the annulus CANCEL instead of accumulating (a plain cos^2 weight scores
+~81 on this suite's empty squares purely from warped square-border lines;
+cos(2*theta) drops them to ~0 while leaving circle scores untouched).
+It expands into two planes:
 
-  (g . u)^2 = gx^2 ux^2 + 2 gx gy ux uy + gy^2 uy^2,   u = (c-p)/|c-p|
+  cos 2theta = (g.u)^2 - (g.t)^2          (t = u rotated 90 deg)
+             = (gx^2-gy^2)(ux^2-uy^2) + (2 gx gy)(2 ux uy)
 
-so  score(c, r) = sum_p edge(p) (g.u)^2 [| |c-p| - r | <= delta]
-              = conv(e*gx^2, K1_r) + conv(e*2*gx*gy, K2_r) + conv(e*gy^2, K3_r)
+so  score(c, r) = sum_p edge(p) cos(2*theta) [| |c-p| - r | <= delta]
+              = conv(e*(gx^2-gy^2), K1_r) + conv(e*2*gx*gy, K2_r)
 
-with static ring kernels K1=ux^2, K2=ux*uy, K3=uy^2 on the annulus. Three
+with static ring kernels K1=ux^2-uy^2, K2=2*ux*uy on the annulus. Two
 batched convolutions over (64 squares, radii) on the MXU replace 84M
 scattered votes. Output is restricted to the center window the reference
 cascade actually inspects (piece_detector.py:249-256: centers within 30%
@@ -59,9 +66,11 @@ class ConvHoughDims(NamedTuple):
 class ConvHoughPlan(NamedTuple):
     """Device constants for the conv circle search (paired with ConvHoughDims)."""
 
-    kernels: jnp.ndarray  # (3, R, K, K) f32 ring kernels (ux^2, ux*uy, uy^2)
+    kernels: jnp.ndarray  # (2, R, K, K) f32 ring kernels (ux^2-uy^2, 2*ux*uy)
     radii: jnp.ndarray  # (R,) f32 bin center radii
     r_valid: jnp.ndarray  # (64, R) bool — radius inside square's [minR,maxR]
+    r_min: jnp.ndarray  # (64,) f32 per-square min radius (full-res px)
+    r_max: jnp.ndarray  # (64,) f32 per-square max radius
     win_offset_y: jnp.ndarray  # (64,) i32 window top in square coords
     win_offset_x: jnp.ndarray  # (64,) i32
     win_mask: jnp.ndarray  # (64, Wy, Wx) bool — centers within 30% of center
@@ -107,12 +116,11 @@ class ConvHoughPlan(NamedTuple):
         with np.errstate(invalid="ignore", divide="ignore"):
             ux = np.where(dist > 0, dx / dist, 0.0)
             uy = np.where(dist > 0, dy / dist, 0.0)
-        kernels = np.zeros((3, R, K, K), np.float32)
+        kernels = np.zeros((2, R, K, K), np.float32)
         for i, r in enumerate(radii):
             ring = (np.abs(dist - r / q) <= delta) & (dist > 0)
-            kernels[0, i] = (ring * ux * ux).astype(np.float32)
-            kernels[1, i] = (ring * ux * uy).astype(np.float32)
-            kernels[2, i] = (ring * uy * uy).astype(np.float32)
+            kernels[0, i] = (ring * (ux * ux - uy * uy)).astype(np.float32)
+            kernels[1, i] = (ring * 2.0 * ux * uy).astype(np.float32)
 
         r_valid = (radii[None, :] >= minR[:, None]) & (radii[None, :] <= maxR[:, None])
 
@@ -165,19 +173,21 @@ class ConvHoughPlan(NamedTuple):
         dxm = np.arange(Wq)[:, None] - (x0 + np.arange(Xu))[None, :] + c  # (Wq, Xu)
         vy = (dy >= 0) & (dy < K)
         vx = (dxm >= 0) & (dxm < K)
-        t = kernels[:, :, np.clip(dy, 0, K - 1).reshape(-1), :]  # (3,R,Hq*Yu,K)
-        t = t[:, :, :, np.clip(dxm, 0, K - 1).reshape(-1)]  # (3,R,Hq*Yu,Wq*Xu)
-        t = t.reshape(3, R, Hq, Yu, Wq, Xu)
+        t = kernels[:, :, np.clip(dy, 0, K - 1).reshape(-1), :]  # (2,R,Hq*Yu,K)
+        t = t[:, :, :, np.clip(dxm, 0, K - 1).reshape(-1)]  # (2,R,Hq*Yu,Wq*Xu)
+        t = t.reshape(2, R, Hq, Yu, Wq, Xu)
         t = t * vy[None, None, :, :, None, None]
         t = t * vx[None, None, None, None, :, :]
         basis = np.ascontiguousarray(t.transpose(0, 2, 4, 1, 3, 5)).reshape(
-            3 * Hq * Wq, R * Yu * Xu
+            2 * Hq * Wq, R * Yu * Xu
         )
 
         plan = cls(
             kernels=jnp.asarray(kernels),
             radii=jnp.asarray(radii.astype(np.float32)),
             r_valid=jnp.asarray(r_valid),
+            r_min=jnp.asarray(minR.astype(np.float32)),
+            r_max=jnp.asarray(maxR.astype(np.float32)),
             win_offset_y=jnp.asarray(woy.astype(np.int32)),
             win_offset_x=jnp.asarray(wox.astype(np.int32)),
             win_mask=jnp.asarray(mask),
@@ -197,23 +207,38 @@ class ConvCircle(NamedTuple):
     cx: jnp.ndarray  # (64,) f32
     cy: jnp.ndarray  # (64,) f32
     radius: jnp.ndarray  # (64,) i32
-    score: jnp.ndarray  # (64,) f32 peak annular support
+    score: jnp.ndarray  # (64,) f32 peak annular support (proposal stage)
+    votes: jnp.ndarray  # (64,) f32 cv2-semantics ray votes at the peak
 
 
-@partial(jax.jit, static_argnames=("dims", "param1", "score_threshold"))
+@partial(jax.jit, static_argnames=("dims", "param1", "param2", "vote_tol"))
 def find_circle(
     gray: jnp.ndarray,
     plan: ConvHoughPlan,
     dims: ConvHoughDims,
     param1: int = 100,
-    score_threshold: float = 60.0,
+    param2: int = 25,
+    vote_tol: float = 2.5,
 ) -> ConvCircle:
     """Best circle near each square's center. gray: (64, H, W) u8 pre-blurred.
 
-    score_threshold is the calibrated stand-in for cv2's param2 (=25 votes);
-    the cos^2-weighted annular support of a real circle is slightly below
-    its cv2 vote count, hence the default 60 sits mid-gap between real-circle scores (>=116 on fixtures)
-    and non-circle scores (~0) — see tests/test_hough_conv.py.
+    Two stages, both MXU/VPU-batched:
+    1. PROPOSE — the annular-correlation matmul scores every (center,
+       radius) in the window; argmax picks one candidate per square.
+    2. VERIFY — cv2's own accumulator semantics evaluated at just that
+       candidate: an edge pixel p with unit gradient g votes iff
+       minR <= |p-c| <= maxR and p's gradient ray passes within
+       ``vote_tol`` px of c (|cross(c-p, g)| <= tol — the lateral miss
+       distance; tol absorbs the q-cell center quantization ~q/2 plus
+       cv2's dp cell). found = votes > param2, the SAME decision rule
+       and threshold as the exact backend (ops/hough.py param2=25).
+       Evaluating it at one center per square is a fused reduction — no
+       scatter — and is what makes the correlation's line/texture
+       responses harmless: a straight edge puts < 2*tol*thickness ~ 10
+       aligned pixels on any single ray intersection, far below 25,
+       while a true circle contributes a large fraction of its
+       circumference (calibration: tests/test_regression_clip.py
+       backend-agreement suite over the clean/hard/shadow clips).
     """
     n_sq, H, W = gray.shape
     edges = canny(gray, max(param1 // 2, 1), param1,
@@ -226,14 +251,16 @@ def find_circle(
     e = edges.astype(jnp.float32)
     gxn = gx * inv
     gyn = gy * inv
-    planes = jnp.stack([e * gxn * gxn, e * 2.0 * gxn * gyn, e * gyn * gyn], axis=1)
+    planes = jnp.stack(
+        [e * (gxn * gxn - gyn * gyn), e * 2.0 * gxn * gyn], axis=1
+    )
 
     # Sum-pool to accumulator resolution (vote mass preserved).
     q = dims.downsample
     if q > 1:
         Hq, Wq = (H // q) * q, (W // q) * q
         planes = planes[:, :, :Hq, :Wq].reshape(
-            n_sq, 3, Hq // q, q, Wq // q, q
+            n_sq, planes.shape[1], Hq // q, q, Wq // q, q
         ).sum((3, 5))
 
     R = plan.kernels.shape[1]
@@ -281,5 +308,17 @@ def find_circle(
     cy = ((plan.win_offset_y + by).astype(jnp.float32) + 0.5) * q
     cx = ((plan.win_offset_x + bx).astype(jnp.float32) + 0.5) * q
     radius = jnp.round(plan.radii[ri]).astype(jnp.int32)
-    found = best_score >= score_threshold
-    return ConvCircle(found=found, cx=cx, cy=cy, radius=radius, score=best_score)
+
+    # VERIFY: cv2 vote count at the proposed center (full resolution).
+    ys = jax.lax.broadcasted_iota(jnp.float32, (n_sq, H, W), 1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (n_sq, H, W), 2)
+    dyc = ys - cy[:, None, None]
+    dxc = xs - cx[:, None, None]
+    dist = jnp.sqrt(dyc * dyc + dxc * dxc)
+    in_range = (dist >= plan.r_min[:, None, None]) & (dist <= plan.r_max[:, None, None])
+    cross = jnp.abs(dxc * gyn - dyc * gxn)
+    votes = jnp.sum(e * in_range * (cross <= vote_tol), axis=(-2, -1))
+    found = votes > param2
+    return ConvCircle(
+        found=found, cx=cx, cy=cy, radius=radius, score=best_score, votes=votes
+    )

@@ -169,3 +169,51 @@ def resample(gray: jnp.ndarray, plan: MatmulResamplePlan, dims: MatmulResampleDi
 def resample_gray_u8(gray_frame: jnp.ndarray, plan, dims) -> jnp.ndarray:
     """u8 output with the pipeline's round-clip convention."""
     return jnp.clip(jnp.round(resample(gray_frame, plan, dims)), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Board-level color warp (the with_enhancer path)
+# ---------------------------------------------------------------------------
+
+
+def assemble_board_from_tiles(tiles: jnp.ndarray, starts, board_size: int) -> jnp.ndarray:
+    """Invert BoardGeometry.board_tile_query_coords's overlapping 8x8 tiling.
+
+    tiles: (64, T, T); tile t = r*8+c covers board rows
+    starts[r]:starts[r]+T, cols starts[c]:starts[c]+T. Each board pixel is
+    taken from the tile that *owns* it (row block r owns rows
+    [r*T, (r+1)*T) clipped to B), so the overlap rows/cols of the last
+    tiles are dropped. Static slices + concatenate only — no gathers.
+    """
+    B = board_size
+    T = tiles.shape[-1]
+    row_blocks = []
+    for r in range(8):
+        o0, o1 = r * T, min((r + 1) * T, B)
+        lr0 = o0 - starts[r]
+        cols = []
+        for c in range(8):
+            p0, p1 = c * T, min((c + 1) * T, B)
+            lc0 = p0 - starts[c]
+            t = tiles[r * 8 + c]
+            cols.append(t[lr0 : lr0 + (o1 - o0), lc0 : lc0 + (p1 - p0)])
+        row_blocks.append(jnp.concatenate(cols, axis=1))
+    return jnp.concatenate(row_blocks, axis=0)
+
+
+def warp_board_color(
+    planar_frame: jnp.ndarray, plan: MatmulResamplePlan, dims: MatmulResampleDims,
+    starts, board_size: int,
+) -> jnp.ndarray:
+    """(3, Hf, Wf) u8 frame -> (3, B, B) u8 warped board, matmuls only.
+
+    Channel-wise bilinear via the tile plan (build_plan over
+    board_tile_query_coords) + static reassembly. Same arithmetic as the
+    exact HWC gather warp (ops/warp.warp_bilinear) up to f32 associativity:
+    <=1 intensity level on <1% of pixels.
+    """
+    out = []
+    for c in range(planar_frame.shape[0]):
+        tiles = jnp.clip(jnp.round(resample(planar_frame[c], plan, dims)), 0, 255)
+        out.append(assemble_board_from_tiles(tiles.astype(jnp.uint8), starts, board_size))
+    return jnp.stack(out)

@@ -112,7 +112,6 @@ def detect_pieces(
     hough_backend: str = "exact",
     conv_plan: hough_conv_ops.ConvHoughPlan = None,
     conv_dims: hough_conv_ops.ConvHoughDims = None,
-    conv_score_threshold: float = 60.0,
 ) -> PieceDetections:
     """Raw per-square cascade on preprocessed (blurred gray) squares.
 
@@ -135,7 +134,7 @@ def detect_pieces(
     if hough_backend == "conv":
         cc = hough_conv_ops.find_circle(
             gray, conv_plan, conv_dims,
-            param1=hough_param1, score_threshold=conv_score_threshold,
+            param1=hough_param1, param2=hough_param2,
         )
         min_dim_f = jnp.minimum(masks.heights, masks.widths).astype(jnp.float32)
         h_found, h_cx, h_cy, h_r = cc.found, cc.cx, cc.cy, cc.radius

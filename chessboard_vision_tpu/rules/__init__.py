@@ -13,6 +13,8 @@ from chessboard_vision_tpu.rules.fen import (
     map_detections_to_board,
     generate_fen,
     occupancy_to_fen,
+    classify_piece_colors,
+    occupancy_to_colored_fen,
 )
 
 __all__ = [
@@ -23,4 +25,6 @@ __all__ = [
     "map_detections_to_board",
     "generate_fen",
     "occupancy_to_fen",
+    "classify_piece_colors",
+    "occupancy_to_colored_fen",
 ]

@@ -1,8 +1,13 @@
 """Piece-detector calibrator (trackbar UI) + stats export.
 
-Equivalent of reference calibrate_piece_detector.py: tune Hough radius
-percentages and thresholds over the live warped board with per-method
-color coding; exports piece_detector_settings.json and piece_stats.txt.
+Equivalent of reference calibrate_piece_detector.py (:139-335): tune Hough
+radius percentages, param1/param2, and the center-diff threshold over the
+live warped board with per-method color coding; exports
+piece_detector_settings.json and piece_stats.txt. Like the reference tool
+(which assigns detector attributes directly, bypassing load_settings), the
+live tuning uses VisionPipeline(detector_overrides=...) — the saved JSON's
+hough params remain ignored by the runtime loader (the preserved
+reference quirk, piece_detector.py:58-65).
 
 Run: python -m chessboard_vision_tpu.tools.calibrate_piece_detector
 """
@@ -70,6 +75,9 @@ def main(camera_id: int = 0):
     saved = load_json_config(PIECE_SETTINGS_FILE, {}) or {}
     cv2.createTrackbar("Min radius %", win, int(saved.get("min_radius", 20)), 50, lambda v: None)
     cv2.createTrackbar("Max radius %", win, int(saved.get("max_radius", 55)), 80, lambda v: None)
+    cv2.createTrackbar("Param1", win, int(saved.get("param1", 100)), 200, lambda v: None)
+    cv2.createTrackbar("Param2", win, int(saved.get("param2", 25)), 60, lambda v: None)
+    cv2.createTrackbar("Center diff", win, int(saved.get("center_diff", 40)), 100, lambda v: None)
 
     geometry = geo.BoardGeometry.from_config(config)
     pipe = None
@@ -85,10 +93,21 @@ def main(camera_id: int = 0):
         settings = {
             "min_radius": max(cv2.getTrackbarPos("Min radius %", win), 5),
             "max_radius": max(cv2.getTrackbarPos("Max radius %", win), 10),
+            "param1": max(cv2.getTrackbarPos("Param1", win), 20),
+            "param2": max(cv2.getTrackbarPos("Param2", win), 5),
+            "center_diff": max(cv2.getTrackbarPos("Center diff", win), 5),
         }
         if settings != current:
             current = dict(settings)
-            pipe = VisionPipeline(geometry, piece_settings=settings)
+            pipe = VisionPipeline(
+                geometry,
+                piece_settings=settings,  # loader honors only min/max radius (quirk)
+                detector_overrides={
+                    "hough_param1": settings["param1"],
+                    "hough_param2": settings["param2"],
+                    "center_diff_threshold": settings["center_diff"],
+                },
+            )
             state = pipe.capture_reference(pipe.init_state(), frame)
 
         state, out = pipe.step(state, frame, use_delta=False)
@@ -109,8 +128,9 @@ def main(camera_id: int = 0):
                 cv2.putText(vis, f"{conf[s]:.2f}", (cx - 18, cy - int(radius[s]) - 4),
                             cv2.FONT_HERSHEY_SIMPLEX, 0.45, color, 1)
         cv2.putText(vis, f"minR={settings['min_radius']}% maxR={settings['max_radius']}% "
-                    f"occupied={int(occ.sum())}", (10, bs - 12),
-                    cv2.FONT_HERSHEY_SIMPLEX, 0.55, (0, 255, 0), 2)
+                    f"p1={settings['param1']} p2={settings['param2']} "
+                    f"cd={settings['center_diff']} occupied={int(occ.sum())}",
+                    (10, bs - 12), cv2.FONT_HERSHEY_SIMPLEX, 0.55, (0, 255, 0), 2)
         cv2.imshow(win, vis)
         key = cv2.waitKey(1) & 0xFF
         if key == ord("q"):

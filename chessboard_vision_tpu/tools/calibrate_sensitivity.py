@@ -2,11 +2,13 @@
 
 Equivalent of reference calibrate_sensitivity.py: tune z-threshold
 ("Sensitivity" mapped 3.0 - v/20 like the reference :116-118), initial
-variance, alpha, and blur over a live intensity-colored overlay; a
-hand-test mode counts noise events. Saves sensitivity_settings.json —
-and unlike the reference (whose runtime never read that file, SURVEY.md
-§5 quirk), this framework's pipeline consumes it via
-VisionPipeline(change_settings=...).
+variance, alpha, and the change-detector blur kernel (:62-118) over a live
+intensity-colored overlay, with the lifted-piece legal-destination preview
+(:176-201) and a hand-test mode that counts noise events (:337-346).
+Saves sensitivity_settings.json — and unlike the reference (whose runtime
+never read that file, SURVEY.md §5 quirk), this framework's pipeline
+consumes it via VisionPipeline(change_settings=...), including
+blur_kernel.
 
 Run: python -m chessboard_vision_tpu.tools.calibrate_sensitivity
 """
@@ -17,6 +19,7 @@ import numpy as np
 
 from chessboard_vision_tpu import geometry as geo
 from chessboard_vision_tpu.models.pipeline import VisionPipeline, occupancy_to_set
+from chessboard_vision_tpu.rules import GameState
 from chessboard_vision_tpu.utils.config import (
     CALIBRATION_FILE,
     SENSITIVITY_FILE,
@@ -25,6 +28,25 @@ from chessboard_vision_tpu.utils.config import (
 )
 
 INTENSITY_COLORS = {1: (80, 190, 250), 2: (0, 140, 255), 3: (0, 0, 255)}  # LEVE/PARCIAL/TOTAL
+
+
+def lifted_square_and_destinations(game: GameState, vision_occupied) -> tuple:
+    """Lifted-piece preview (reference calibrate_sensitivity.py:176-201):
+    when exactly one piece of the game position is visually missing (and
+    nothing extra appeared), return it and its legal destination squares."""
+    expected = game.get_board_occupancy()
+    missing = expected - set(vision_occupied)
+    extra = set(vision_occupied) - expected
+    if len(missing) != 1 or extra:
+        return None, []
+    lifted = next(iter(missing))
+    from_sq = lifted[1] * 8 + lifted[0]
+    dests = [
+        (m.to_square % 8, m.to_square // 8)
+        for m in game.board.legal_moves
+        if m.from_square == from_sq
+    ]
+    return lifted, dests
 
 
 def main(camera_id: int = 0):
@@ -45,11 +67,12 @@ def main(camera_id: int = 0):
     cv2.createTrackbar("Sensitivity", win, int((3.0 - saved.get("z_threshold", 2.5)) * 20), 50, lambda v: None)
     cv2.createTrackbar("Init var", win, int(saved.get("initial_variance", 100)), 1000, lambda v: None)
     cv2.createTrackbar("Alpha x100", win, int(saved.get("alpha", 0.1) * 100), 50, lambda v: None)
+    cv2.createTrackbar("Blur", win, int(saved.get("blur_kernel", 5)), 15, lambda v: None)
 
-    geometry = geo.BoardGeometry.from_config(config)
     pipe = None
     state = None
     current = None
+    game = GameState()
     noise_events = 0
     hand_test = False
     print("'s' saves, 'r' recalibrates reference, 'h' toggles hand-test, 'q' quits")
@@ -61,8 +84,17 @@ def main(camera_id: int = 0):
         z = 3.0 - cv2.getTrackbarPos("Sensitivity", win) / 20.0
         var0 = max(cv2.getTrackbarPos("Init var", win), 1)
         alpha = max(cv2.getTrackbarPos("Alpha x100", win), 1) / 100.0
-        settings = {"z_threshold": z, "initial_variance": var0, "alpha": alpha}
+        blur = max(cv2.getTrackbarPos("Blur", win), 1)
+        blur += 1 - blur % 2  # odd kernel, like the reference's trackbar mapping
+        settings = {"z_threshold": z, "initial_variance": var0, "alpha": alpha,
+                    "blur_kernel": blur}
         if settings != current:
+            # the baked-in square border must cover the blur kernel: rebuild
+            # geometry when the kernel outgrows it
+            if current is None or blur != current["blur_kernel"]:
+                geometry = geo.BoardGeometry.from_config(
+                    config, blur_pad=max(2, blur // 2)
+                )
             current = dict(settings)
             pipe = VisionPipeline(geometry, change_settings=settings)
             state = pipe.capture_reference(pipe.init_state(), frame)
@@ -87,7 +119,21 @@ def main(camera_id: int = 0):
                             cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 1)
         if hand_test and n_changed > 3:
             noise_events += 1
-        cv2.putText(vis, f"z={z:.2f} var={var0} a={alpha:.2f} changed={n_changed}"
+
+        # Lifted-piece legal-destination preview (reference :176-201):
+        # highlight the lifted square and circle its legal destinations.
+        lifted, dests = lifted_square_and_destinations(
+            game, occupancy_to_set(out.occupancy)
+        )
+        if lifted is not None:
+            lf, lr = lifted
+            x1, y1 = lf * sq, (7 - lr) * sq
+            cv2.rectangle(vis, (x1, y1), (x1 + sq, y1 + sq), (0, 255, 255), 2)
+            for df, dr in dests:
+                cx, cy = df * sq + sq // 2, (7 - dr) * sq + sq // 2
+                cv2.circle(vis, (cx, cy), sq // 5, (0, 255, 0), 2)
+
+        cv2.putText(vis, f"z={z:.2f} var={var0} a={alpha:.2f} blur={blur} changed={n_changed}"
                     + (f" noise_events={noise_events}" if hand_test else ""),
                     (10, bs - 12), cv2.FONT_HERSHEY_SIMPLEX, 0.55, (0, 255, 0), 2)
         cv2.imshow(win, vis)

@@ -1,7 +1,7 @@
 """Conv (MXU) circle-detector backend: decision agreement vs the exact
 voting backend. Small square sizes keep the CPU conv cheap; the full-scale
-calibration (64x77 and 1080p squares, threshold=60) runs on TPU — results
-recorded in ops/hough_conv.py docstrings."""
+calibration (the 3-clip regression set at 77px squares) lives in
+tests/test_regression_clip.py::test_exact_vs_conv_backend_agreement."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -39,7 +39,7 @@ def test_conv_backend_agrees_with_exact(rng):
     ef, _, _, _, _ = hough_ops.best_circle_near_center(
         circ, jnp.full((64,), size), jnp.full((64,), size)
     )
-    cc = hc.find_circle(imgs, plan, dims, score_threshold=35.0)
+    cc = hc.find_circle(imgs, plan, dims)
     agree = (np.asarray(cc.found) == np.asarray(ef)).sum()
     assert agree >= 58, f"conv-vs-exact agreement {agree}/64"
 
@@ -52,9 +52,12 @@ def test_conv_scores_separate_cleanly(rng):
         [make_square(rng, radius=16, contrast=90, noise=3, size=size) for _ in range(32)]
         + [make_square(rng, radius=None, noise=3, size=size) for _ in range(32)]
     )
-    cc = hc.find_circle(jnp.asarray(clean), plan, dims, score_threshold=35.0)
+    cc = hc.find_circle(jnp.asarray(clean), plan, dims)
     scores = np.asarray(cc.score)
-    assert scores[:32].min() > 50  # strong circles
+    assert scores[:32].min() > 50  # strong circles (proposal stage)
     assert scores[32:].max() < 30  # flat squares
+    votes = np.asarray(cc.votes)
+    assert votes[:32].min() > 25  # verification: cv2-semantics ray votes
+    assert votes[32:].max() <= 25
     found = np.asarray(cc.found)
     assert found[:32].all() and not found[32:].any()

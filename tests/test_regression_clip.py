@@ -1,12 +1,18 @@
-"""Regression clip: deterministic synthetic game clip with golden outputs.
+"""Regression clip set: deterministic synthetic clips with golden outputs.
 
-BASELINE.md's parity clause is "FEN parity on regression clips". This test
-renders a fixed-seed 38-frame clip (two moves, a hand occlusion, recovery
-with session-style forced rescans), runs it through the fused pipeline,
-and checks the per-frame occupancy-FEN sequence against
-tests/golden_clip.json. --regen additionally asserts per-frame parity with
+BASELINE.md's parity clause is "FEN parity on regression clips". Each clip
+renders a fixed-seed frame sequence (moves, a hand occlusion, recovery with
+session-style forced rescans), runs it through the fused pipeline, and
+checks the per-frame occupancy-FEN and colored-FEN sequences against its
+tests/golden_clip*.json. --regen additionally asserts per-frame parity with
 the cv2-oracle path before writing. Any future kernel change that shifts a
-decision on this clip fails loudly here.
+decision on these clips fails loudly here.
+
+Clips (VERDICT item 8: the clean render alone doesn't exercise the Hough
+decision boundary):
+  clean  — flat-color board, fixed-radius pieces (the original clip)
+  hard   — wood-grain texture, shaded jittered pieces, shadow ramp + glare
+  shadow — hard renderer with the light source drifting across frames
 
 Regenerate goldens (only after verifying oracle parity still holds):
     python tests/test_regression_clip.py --regen
@@ -18,21 +24,33 @@ import sys
 
 # allow running directly: python tests/test_regression_clip.py --regen
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+import pytest
 
 from chessboard_vision_tpu import geometry as geo
 from chessboard_vision_tpu.models.pipeline import VisionPipeline, occupancy_to_set
-from chessboard_vision_tpu.rules import occupancy_to_fen
+from chessboard_vision_tpu.rules import (
+    classify_piece_colors,
+    occupancy_to_colored_fen,
+    occupancy_to_fen,
+)
 
-from fixtures import make_board_frame, initial_occupancy, DEFAULT_CORNERS
+from fixtures import (
+    DEFAULT_CORNERS,
+    initial_occupancy,
+    make_board_frame,
+    make_hard_board_frame,
+)
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden_clip.json")
+HERE = os.path.dirname(os.path.abspath(__file__))
 SEED = 20260816
 
+ALL_SQUARES = {(f, r) for f in range(8) for r in range(8)}
 
-def clip_frames():
-    rng = np.random.default_rng(SEED)
+
+def _move_script():
     occ0 = initial_occupancy()
     occ1 = occ0.copy()
     occ1[4, 1] = False
@@ -40,6 +58,13 @@ def clip_frames():
     occ2 = occ1.copy()
     occ2[4, 6] = False
     occ2[4, 4] = True  # e7e5
+    return occ0, occ1, occ2
+
+
+def clip_clean():
+    """The original 38-frame clip (goldens predate the clip set)."""
+    rng = np.random.default_rng(SEED)
+    occ0, occ1, occ2 = _move_script()
     frames = [make_board_frame(occ0, rng) for _ in range(6)]
     frames += [make_board_frame(occ1, rng) for _ in range(10)]
     hand = make_board_frame(occ1, rng)
@@ -48,37 +73,73 @@ def clip_frames():
     frames += [make_board_frame(occ2, rng) for _ in range(10)]
     frames += [make_board_frame(occ2, rng) for _ in range(10)]
     ref_frame = make_board_frame(occ0, np.random.default_rng(SEED + 1))
-    return ref_frame, frames
+    s2c = lambda i: ALL_SQUARES if i >= 18 else None
+    return ref_frame, frames, s2c
 
 
-ALL_SQUARES = {(f, r) for f in range(8) for r in range(8)}
+def clip_hard():
+    """Textured board, shaded/jittered pieces, static shadow + glare."""
+    rng = np.random.default_rng(SEED + 2)
+    occ0, occ1, occ2 = _move_script()
+    frames = [make_hard_board_frame(occ0, rng, t=0.5) for _ in range(5)]
+    frames += [make_hard_board_frame(occ1, rng, t=0.5) for _ in range(8)]
+    hand = make_hard_board_frame(occ1, rng, t=0.5)
+    hand[230:540, 420:820] = (115, 108, 102)
+    frames += [hand, hand.copy()]
+    frames += [make_hard_board_frame(occ2, rng, t=0.5) for _ in range(9)]
+    ref_frame = make_hard_board_frame(occ0, np.random.default_rng(SEED + 3), t=0.5)
+    s2c = lambda i: ALL_SQUARES if i >= 15 else None
+    return ref_frame, frames, s2c
 
 
-def _s2c(i):
-    """Session-style forced rescans after the hand frames (indices 16-17)."""
-    return ALL_SQUARES if i >= 18 else None
+def clip_shadow():
+    """Hard renderer with the light (shadow ramp + glare) drifting every
+    frame — exercises the EMA background model and delta cache under
+    global illumination change. The e2e4 move here is a light piece
+    leaving a light square: its mean-abs-diff sits UNDER the 25-level
+    delta gate, so like the real app it is only picked up by the session
+    layer's periodic full scans (game_session.py:136: every 30th frame) —
+    emulated here as a full rescan every 5th frame."""
+    rng = np.random.default_rng(SEED + 4)
+    occ0, occ1, _ = _move_script()
+    frames = [make_hard_board_frame(occ0, rng, t=0.15 * i) for i in range(6)]
+    frames += [make_hard_board_frame(occ1, rng, t=0.15 * (6 + i)) for i in range(10)]
+    ref_frame = make_hard_board_frame(occ0, np.random.default_rng(SEED + 5), t=0.0)
+    s2c = lambda i: ALL_SQUARES if i % 5 == 4 else None
+    return ref_frame, frames, s2c
 
 
-def run_pipeline(collect_occ=False):
+CLIPS = {
+    "clean": (clip_clean, os.path.join(HERE, "golden_clip.json")),
+    "hard": (clip_hard, os.path.join(HERE, "golden_clip_hard.json")),
+    "shadow": (clip_shadow, os.path.join(HERE, "golden_clip_shadow.json")),
+}
+
+
+def run_pipeline(clip_fn, hough_backend="exact", collect_occ=False):
     g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
-    pipe = VisionPipeline(g, hough_backend="exact")
+    pipe = VisionPipeline(g, hough_backend=hough_backend)
     state = pipe.init_state()
-    ref_frame, frames = clip_frames()
+    ref_frame, frames, s2c = clip_fn()
     state = pipe.capture_reference(state, ref_frame)
-    fens = []
-    occs = []
+    fens, colored, occs = [], [], []
     for i, fr in enumerate(frames):
-        state, out = pipe.step(state, fr, squares_to_check=_s2c(i))
+        state, out = pipe.step(state, fr, squares_to_check=s2c(i))
         occ = occupancy_to_set(out.occupancy)
         occs.append(occ)
         mask = np.zeros((8, 8), bool)
         for f, r in occ:
             mask[f, r] = True
         fens.append(occupancy_to_fen(mask).split()[0])
-    return (fens, occs) if collect_occ else fens
+        colors = classify_piece_colors(
+            out.center_mean, np.asarray(out.occupancy), np.asarray(out.corner_mean)
+        )
+        colored.append(occupancy_to_colored_fen(mask, colors).split()[0])
+    return (fens, colored, occs) if collect_occ else (fens, colored)
 
 
-def run_oracle():
+def run_oracle(clip_fn):
+    """cv2-oracle occupancy + colored FENs for --regen parity checking."""
     import cv2
 
     from chessboard_vision_tpu.geometry import reorder, split_board_dict
@@ -91,34 +152,75 @@ def run_oracle():
         np.float32([[0, 0], [bs, 0], [0, bs], [bs, bs]]),
     )
     det = PieceDetectorCV()
-    ref_frame, frames = clip_frames()
+    ref_frame, frames, s2c = clip_fn()
     det.update_references(split_board_dict(cv2.warpPerspective(ref_frame, M, (bs, bs))))
-    occs = []
+    occs, colored = [], []
     for i, fr in enumerate(frames):
         squares = split_board_dict(cv2.warpPerspective(fr, M, (bs, bs)))
-        results, _ = det.detect_all_pieces(squares, use_delta=True, squares_to_check=_s2c(i))
-        occs.append({pos for pos, info in results.items() if info["has_piece"]})
-    return occs
+        results, _ = det.detect_all_pieces(squares, use_delta=True, squares_to_check=s2c(i))
+        occ = {pos for pos, info in results.items() if info["has_piece"]}
+        occs.append(occ)
+        means = np.zeros(64)
+        corner_means = np.zeros(64)
+        occ64 = np.zeros(64, bool)
+        for (f, r), img in squares.items():
+            gray = cv2.GaussianBlur(cv2.cvtColor(img, cv2.COLOR_BGR2GRAY), (5, 5), 0)
+            h, w = gray.shape
+            yy, xx = np.mgrid[:h, :w]
+            cs = min(h, w) // 4
+            disk = ((xx - w // 2) ** 2 + (yy - h // 2) ** 2) <= cs * cs
+            corner = np.zeros((h, w), bool)
+            corner[:cs, :cs] = corner[:cs, w - cs :] = True
+            corner[h - cs :, :cs] = corner[h - cs :, w - cs :] = True
+            means[r * 8 + f] = gray[disk].mean()
+            corner_means[r * 8 + f] = gray[corner].mean()
+            occ64[r * 8 + f] = (f, r) in occ
+        mask = occ64.reshape(8, 8).T
+        colors = classify_piece_colors(means, occ64, corner_means)
+        colored.append(occupancy_to_colored_fen(mask, colors).split()[0])
+    return occs, colored
 
 
-def test_clip_matches_golden():
-    with open(GOLDEN) as fh:
+@pytest.mark.parametrize("name", sorted(CLIPS))
+def test_clip_matches_golden(name):
+    clip_fn, golden_path = CLIPS[name]
+    with open(golden_path) as fh:
         golden = json.load(fh)
-    fens = run_pipeline()
+    fens, colored = run_pipeline(clip_fn)
     assert len(fens) == len(golden["fens"])
     for i, (got, want) in enumerate(zip(fens, golden["fens"])):
-        assert got == want, f"frame {i}: {got} != golden {want}"
+        assert got == want, f"{name} frame {i}: {got} != golden {want}"
+    for i, (got, want) in enumerate(zip(colored, golden["colored_fens"])):
+        assert got == want, f"{name} frame {i} colored: {got} != golden {want}"
+
+
+@pytest.mark.parametrize("name", sorted(CLIPS))
+def test_exact_vs_conv_backend_agreement(name):
+    """The MXU conv-Hough backend must agree with the cv2-faithful exact
+    backend on >=99.5% of per-square decisions on every clip — including
+    the textured/glare ones that stress the score threshold
+    (ops/hough_conv.py), not just rendered-disc fixtures."""
+    clip_fn, _ = CLIPS[name]
+    _, _, occ_exact = run_pipeline(clip_fn, hough_backend="exact", collect_occ=True)
+    _, _, occ_conv = run_pipeline(clip_fn, hough_backend="conv", collect_occ=True)
+    total = 64 * len(occ_exact)
+    disagree = sum(len(a ^ b) for a, b in zip(occ_exact, occ_conv))
+    agreement = 1.0 - disagree / total
+    print(f"{name}: exact-vs-conv agreement {agreement * 100:.2f}% "
+          f"({disagree}/{total} squares differ)")
+    assert agreement >= 0.995, f"{name}: agreement {agreement * 100:.2f}% < 99.5%"
 
 
 if __name__ == "__main__":
-    import sys
-
     if "--regen" in sys.argv:
-        fens, occs = run_pipeline(collect_occ=True)
-        oracle_occs = run_oracle()
-        for i, (a, b) in enumerate(zip(occs, oracle_occs)):
-            assert a == b, f"frame {i}: pipeline/oracle occupancy mismatch"
-        print("oracle parity: OK on all frames")
-        with open(GOLDEN, "w") as fh:
-            json.dump({"seed": SEED, "fens": fens}, fh, indent=1)
-        print(f"wrote {GOLDEN} with {len(fens)} frames")
+        for name, (clip_fn, golden_path) in CLIPS.items():
+            fens, colored, occs = run_pipeline(clip_fn, collect_occ=True)
+            oracle_occs, oracle_colored = run_oracle(clip_fn)
+            for i, (a, b) in enumerate(zip(occs, oracle_occs)):
+                assert a == b, f"{name} frame {i}: pipeline/oracle occupancy mismatch {a ^ b}"
+            for i, (a, b) in enumerate(zip(colored, oracle_colored)):
+                assert a == b, f"{name} frame {i}: colored FEN mismatch {a} != {b}"
+            print(f"{name}: oracle parity OK on all {len(fens)} frames")
+            with open(golden_path, "w") as fh:
+                json.dump({"seed": SEED, "fens": fens, "colored_fens": colored}, fh, indent=1)
+            print(f"wrote {golden_path} with {len(fens)} frames")
