@@ -4,19 +4,60 @@ Behavioral equivalent of reference lichess_client.py: bearer-token auth
 from .env, account check, ongoing-games list, NDJSON game-event stream
 (long poll), move/resign POSTs, seek, turn parity from the move list.
 Adds an optional reconnect loop around the stream (the reference's
-generator simply ends on HTTP errors — SURVEY.md §2 elasticity note).
+generator simply ends on HTTP errors — SURVEY.md §2 elasticity note) and
+the rest of the Board API surface the reference left out: clock state
+from gameState events, draw offers, takebacks, abort, claim-victory, and
+game chat.
 """
 
 from __future__ import annotations
 
 import json
 import time
+from dataclasses import dataclass
 from typing import Generator, Optional
 
 import requests
 
 from chessboard_vision_tpu.utils.config import get_lichess_token
 from chessboard_vision_tpu.utils.logging import get_logger
+
+
+@dataclass
+class ClockState:
+    """Clock snapshot from the latest gameState/gameFull event (ms).
+
+    Board API times are in milliseconds; `at` is the host monotonic time
+    when the snapshot was taken so remaining() can extrapolate the side
+    to move without another round trip.
+    """
+
+    wtime_ms: int = 0
+    btime_ms: int = 0
+    winc_ms: int = 0
+    binc_ms: int = 0
+    at: float = 0.0
+
+    @classmethod
+    def from_event(cls, state: dict) -> "ClockState":
+        return cls(
+            wtime_ms=int(state.get("wtime", 0) or 0),
+            btime_ms=int(state.get("btime", 0) or 0),
+            winc_ms=int(state.get("winc", 0) or 0),
+            binc_ms=int(state.get("binc", 0) or 0),
+            at=time.monotonic(),
+        )
+
+    def remaining_ms(self, color: str, side_to_move: Optional[str] = None) -> int:
+        """Remaining time for `color`, extrapolating the running clock.
+
+        Only the side to move burns time; pass side_to_move (or None to
+        return the raw snapshot value).
+        """
+        base = self.wtime_ms if color == "white" else self.btime_ms
+        if side_to_move == color and self.at:
+            base -= int((time.monotonic() - self.at) * 1000)
+        return max(base, 0)
 
 
 class LichessClient:
@@ -27,6 +68,7 @@ class LichessClient:
         self.username: Optional[str] = None
         self.current_game_id: Optional[str] = None
         self.my_color: Optional[str] = None
+        self.clock: Optional[ClockState] = None
         self._headers = {}
         self.log = get_logger("lichess")
 
@@ -97,8 +139,12 @@ class LichessClient:
                     event = json.loads(line.decode("utf-8"))
                 except json.JSONDecodeError:
                     continue
-                if event.get("type") == "gameFull":
+                etype = event.get("type")
+                if etype == "gameFull":
                     self._set_my_color(event)
+                    self.clock = ClockState.from_event(event.get("state", {}))
+                elif etype == "gameState":
+                    self.clock = ClockState.from_event(event)
                 yield event
         except requests.RequestException as e:
             self.log.warning("stream error: %s", e)
@@ -134,7 +180,7 @@ class LichessClient:
             self.my_color = "black"
         self.log.info("playing as %s", self.my_color)
 
-    def make_move(self, uci_move: str) -> bool:
+    def make_move(self, uci_move: str, offering_draw: bool = False) -> bool:
         if not self.current_game_id:
             self.log.warning("no active game")
             return False
@@ -142,6 +188,7 @@ class LichessClient:
             resp = requests.post(
                 f"{self.BASE_URL}/api/board/game/{self.current_game_id}/move/{uci_move}",
                 headers=self._headers,
+                params={"offeringDraw": "true"} if offering_draw else None,
                 timeout=10,
             )
             if resp.status_code == 200:
@@ -152,6 +199,73 @@ class LichessClient:
         except requests.RequestException as e:
             self.log.warning("move error: %s", e)
             return False
+
+    def _game_post(self, action: str) -> bool:
+        """POST /api/board/game/{id}/{action} -> 200?"""
+        if not self.current_game_id:
+            return False
+        try:
+            resp = requests.post(
+                f"{self.BASE_URL}/api/board/game/{self.current_game_id}/{action}",
+                headers=self._headers,
+                timeout=10,
+            )
+            ok = resp.status_code == 200
+            if not ok:
+                self.log.warning("%s failed: %s %s", action, resp.status_code, resp.text)
+            return ok
+        except requests.RequestException as e:
+            self.log.warning("%s error: %s", action, e)
+            return False
+
+    def abort(self) -> bool:
+        """Abort the game (only legal before both sides have moved twice)."""
+        return self._game_post("abort")
+
+    def handle_draw_offer(self, accept: bool) -> bool:
+        """Accept (or decline) an incoming draw offer — or offer one."""
+        return self._game_post(f"draw/{'yes' if accept else 'no'}")
+
+    def handle_takeback(self, accept: bool) -> bool:
+        """Accept (or decline) an incoming takeback proposal."""
+        return self._game_post(f"takeback/{'yes' if accept else 'no'}")
+
+    def claim_victory(self) -> bool:
+        """Claim the win after the opponent abandons the game."""
+        return self._game_post("claim-victory")
+
+    def send_chat(self, text: str, room: str = "player") -> bool:
+        """Post to the game chat (room: 'player' or 'spectator')."""
+        if not self.current_game_id:
+            return False
+        try:
+            resp = requests.post(
+                f"{self.BASE_URL}/api/board/game/{self.current_game_id}/chat",
+                headers=self._headers,
+                data={"room": room, "text": text},
+                timeout=10,
+            )
+            return resp.status_code == 200
+        except requests.RequestException as e:
+            self.log.warning("chat error: %s", e)
+            return False
+
+    def get_chat(self) -> list:
+        """Fetch the game chat messages (list of {text, user} dicts)."""
+        if not self.current_game_id:
+            return []
+        try:
+            resp = requests.get(
+                f"{self.BASE_URL}/api/board/game/{self.current_game_id}/chat",
+                headers=self._headers,
+                timeout=10,
+            )
+            if resp.status_code == 200:
+                return resp.json()
+            return []
+        except requests.RequestException as e:
+            self.log.warning("get_chat error: %s", e)
+            return []
 
     def resign(self) -> bool:
         if not self.current_game_id:

@@ -27,9 +27,18 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("clip_limit", "tiles"))
-def clahe(img: jnp.ndarray, clip_limit: float = 3.0, tiles: int = 8) -> jnp.ndarray:
-    """cv2.createCLAHE(clip, (tiles, tiles)).apply for u8 (H, W) images."""
+@partial(jax.jit, static_argnames=("clip_limit", "tiles", "backend"))
+def clahe(
+    img: jnp.ndarray, clip_limit: float = 3.0, tiles: int = 8, backend: str = "auto"
+) -> jnp.ndarray:
+    """cv2.createCLAHE(clip, (tiles, tiles)).apply for u8 (H, W) images.
+
+    backend selects both heavy phases (per-tile histograms and the LUT
+    application): 'pallas' = the VMEM-resident one-hot-matmul kernels
+    (ops/pallas/clahe_apply.py), 'xla' = compare-reduce histograms + the
+    strip-mapped matmul apply, 'auto' = pallas on TPU (8x8 tiles). The
+    clip/redistribute/CDF phase (64x256) is shared XLA.
+    """
     H, W = img.shape
     th = -(-H // tiles)
     tw = -(-W // tiles)
@@ -40,15 +49,29 @@ def clahe(img: jnp.ndarray, clip_limit: float = 3.0, tiles: int = 8) -> jnp.ndar
     clip_abs = max(int(clip_limit * area / 256), 1)
     n_tiles = tiles * tiles
 
-    # Per-tile histograms: (tiles, th, tiles, tw) -> (n_tiles, area).
-    # One-hot compare+reduce instead of scatter-add (TPU serializes
-    # scatters: the scatter histogram alone cost ~8 ms/frame at 720p; the
-    # fused compare-reduce runs at VPU speed).
-    tiled = pad.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3).reshape(n_tiles, area)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
-    hist = jnp.sum(
-        (tiled.astype(jnp.int32)[:, :, None] == bins).astype(jnp.int32), axis=1
-    )
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and tiles == 8
+            else "xla"
+        )
+
+    if backend == "pallas":
+        from chessboard_vision_tpu.ops.pallas.clahe_apply import clahe_hist_pallas
+
+        hist = clahe_hist_pallas(pad, th, tw, tiles)
+    else:
+        # Per-tile histograms: (tiles, th, tiles, tw) -> (n_tiles, area).
+        # One-hot compare+reduce instead of scatter-add (TPU serializes
+        # scatters: the scatter histogram alone cost ~8 ms/frame at 720p;
+        # the fused compare-reduce runs at VPU speed).
+        tiled = (
+            pad.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3).reshape(n_tiles, area)
+        )
+        bins = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+        hist = jnp.sum(
+            (tiled.astype(jnp.int32)[:, :, None] == bins).astype(jnp.int32), axis=1
+        )
 
     # Clip + OpenCV's two-phase excess redistribution.
     excess = jnp.sum(jnp.maximum(hist - clip_abs, 0), axis=-1)
@@ -64,6 +87,11 @@ def clahe(img: jnp.ndarray, clip_limit: float = 3.0, tiles: int = 8) -> jnp.ndar
     cdf = jnp.cumsum(hist, axis=-1)
     scale = jnp.float32(255.0 / area)
     luts = jnp.clip(jnp.round(cdf.astype(jnp.float32) * scale), 0, 255)  # (n_tiles, 256) f32
+
+    if backend == "pallas":
+        from chessboard_vision_tpu.ops.pallas.clahe_apply import clahe_apply_pallas
+
+        return clahe_apply_pallas(pad, luts, th, tw, tiles)[:H, :W]
 
     # Per-pixel bilinear mix of 4 neighbor-tile LUTs, gather-free:
     # row-strip chunks of [weights (Pb, n_tiles) @ luts (n_tiles, 256)] on

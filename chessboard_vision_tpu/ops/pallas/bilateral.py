@@ -3,16 +3,28 @@
 The bilateral (d=9, sigma 75/75 — reference frame_enhancer.py:122-131) is
 the enhancement pipeline's heaviest stencil: 69 circle-masked taps, each
 needing a per-pixel color-distance exp weight. The XLA form re-reads the
-padded input per tap through HBM-staged fusions; this kernel DMAs each
-row band (plus halo) into VMEM once, converts to f32 once, and runs the
-whole tap loop out of VMEM — the arithmetic matches
-ops/enhance.bilateral_planar (same f32 exp weights, same round) up to
-exp-evaluation ulps: <=1 intensity level on <0.01% of pixels (measured on
-TPU v5e at 620^2 and 720p), and cv2 within 1 level. Measured 4.3x faster
-than the XLA 81-tap form at 720p (0.029 vs 0.124 ms), equal at 620^2.
+padded input per tap through HBM-staged fusions.
 
-Shapes: planar (3, H, W) u8, any H/W: rows are processed in 8-divisible
-bands (Mosaic block constraint), padding H with the reflect-101
+Kernel structure (what measured fastest on v5e):
+- rows are processed in 8-divisible bands DMA'd into VMEM with halo;
+- the NINE dx lane-shifted f32 copies of the band are materialized ONCE
+  into a (9, 3, Bp, W) scratch — lane-offset reads are whole-buffer
+  relayouts on TPU, so they must be hoisted out of the tap loop (a
+  previous version sliced per tap: 69 relayouts/band, slower than XLA;
+  another used pltpu.roll with loop-carried shifts: ~10x slower);
+- the dy axis runs as a fori_loop whose body reads the neighborhood by
+  sublane offset (plain addressing, free) and accumulates into scratch
+  num/den refs, so VMEM stays bounded regardless of W (a fully unrolled
+  tap loop stack-allocates every tap's temporaries: 109 MB at 720p);
+- space weights (incl. the circle mask as exact zeros) come from a
+  precomputed (9, 9) SMEM table.
+
+Arithmetic matches ops/enhance.bilateral_planar (same f32 exp weights,
+same round) up to exp-evaluation ulps: measured max diff 0 at 620^2 on
+TPU v5e (tests/test_pallas_bilateral.py), and cv2 within 1 level.
+
+Shapes: planar (3, H, W) u8, any H/W: the band height adapts to W so the
+shifted-copy scratch fits VMEM, padding H with the reflect-101
 continuation when it has no band divisor and slicing the pad back off.
 Production call site: models/enhancer.bilateral (the Pallas-else-XLA
 backend seam; 'auto' picks this kernel on TPU).
@@ -29,7 +41,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_band(h: int, lo: int = 32, hi: int = 128):
+def _band_cap(w: int) -> int:
+    """Largest band keeping the whole scoped footprint under ~48 MB.
+
+    Per band-pixel (lanes rounded up to 128): the (9, 3, Bp, W) f32
+    shifted scratch is 108 B, the unrolled tap loop's Mosaic stack
+    temporaries measure ~420 B (16.97 MB at band=48, 640 lanes), plus
+    16 B of accumulators — ~550 B/px. pallas_call raises
+    vmem_limit_bytes to 64 MB to make room (v5e has 128 MB/core)."""
+    wq = ((max(w, 1) + 127) // 128) * 128
+    cap = int(48e6 / (560 * wq)) // 8 * 8
+    return max(8, min(128, cap))
+
+
+def _pick_band(h: int, lo: int, hi: int):
     """Largest row-band b in [lo, hi] with b % 8 == 0 and h % b == 0.
 
     Mosaic requires the output block's sublane dim to be 8-divisible (or
@@ -40,27 +65,19 @@ def _pick_band(h: int, lo: int = 32, hi: int = 128):
     return None
 
 
-def _pick_pad_band(h: int, lo: int = 32, hi: int = 128):
+def _pick_pad_band(h: int, w: int):
     """Smallest padded height hp >= h with a valid band; returns (hp, band).
 
     Any h works: padding at most lo-1 rows reaches a multiple of some
     8-multiple band (worst case hp = next multiple of lo)."""
+    hi = _band_cap(w)
+    lo = min(32, hi)
     hp = max(h, lo)
     while True:
         b = _pick_band(hp, lo, hi)
         if b is not None:
             return hp, b
         hp += 1
-
-
-def _taps(d: int):
-    radius = d // 2
-    taps = []
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            if np.sqrt(dy * dy + dx * dx) <= radius:
-                taps.append((dy, dx))
-    return taps, radius
 
 
 @partial(jax.jit, static_argnames=("d", "sigma_color", "sigma_space"))
@@ -73,13 +90,24 @@ def bilateral_planar_pallas(
     # needs the output block's sublane dim 8-divisible); extra rows carry
     # the reflect-101 continuation so valid rows see exact neighborhoods,
     # and are sliced off at the end.
-    Hq, band = _pick_pad_band(H)
-    taps, radius = _taps(d)
+    Hq, band = _pick_pad_band(H, W)
+    radius = d // 2
+    span = 2 * radius + 1
     gc = -0.5 / (sigma_color * sigma_color)
     gs = -0.5 / (sigma_space * sigma_space)
     # DMA slices need the minor dim 128-aligned: round the padded width up.
     Wp = ((W + 2 * radius + 127) // 128) * 128
     Bp = band + 2 * radius
+
+    # Space-weight table with the circle mask baked in as exact zeros
+    # (taps outside the d//2 disk contribute nothing, matching the XLA
+    # form's skip).
+    sw_tab = np.zeros((span, span), np.float32)
+    for dy in range(span):
+        for dx in range(span):
+            r2 = (dy - radius) ** 2 + (dx - radius) ** 2
+            if np.sqrt(r2) <= radius:
+                sw_tab[dy, dx] = np.exp(r2 * gs)
 
     # Reflect-101 halo around the frame (cheap XLA pad, done once), plus
     # zero fill out to the aligned width.
@@ -93,61 +121,59 @@ def bilateral_planar_pallas(
     def kernel(in_hbm, out_ref):
         i = pl.program_id(0)
 
-        def body(band_ref, sem):
+        def body(band_ref, shifted_ref, num_ref, den_ref, sem):
             cp = pltpu.make_async_copy(
                 in_hbm.at[:, pl.ds(i * band, Bp), :], band_ref, sem
             )
             cp.start()
             cp.wait()
-            # Mosaic has no direct u8->f32 cast; hop through int32.
-            x = band_ref[:].astype(jnp.int32).astype(jnp.float32)  # (3, Bp, Wp)
-            center = x[:, radius : radius + band, radius : radius + W]
+            # Hoisted lane shifts: 9 dx-offset f32 copies, built once.
+            # (Mosaic has no direct u8->f32 cast; hop through int32.)
+            for dx in range(span):
+                shifted_ref[dx] = (
+                    band_ref[:, :, dx : dx + W].astype(jnp.int32).astype(jnp.float32)
+                )
+            center = shifted_ref[radius, :, radius : radius + band, :]
 
-            # Tap loop as fori (not unrolled): Mosaic stack-allocates the
-            # temporaries of every unrolled step, so 69 unrolled taps OOM VMEM;
-            # a fori body reuses one iteration's buffers. Neighborhood
-            # shifts via circular rolls — the halo guarantees wrapped
-            # elements never reach the sliced interior.
-            span = 2 * radius + 1
+            num_ref[:] = jnp.zeros((C, band, W), jnp.float32)
+            den_ref[:] = jnp.zeros((1, band, W), jnp.float32)
 
-            def tap(t, carry):
-                num, den = carry
-                dy = t // span - radius
-                dx = t % span - radius
-                r2 = dy * dy + dx * dx
-                in_circle = (r2 <= radius * radius).astype(jnp.float32)
-                # Both shifts as circular rolls (Pallas TPU lowers neither
-                # dynamic_slice-of-value nor pl.ds on values); the halo
-                # guarantees wrapped elements never reach the sliced
-                # interior. pltpu.roll wants non-negative shifts.
-                xs = pltpu.roll(x, (-dy) % Bp, axis=1)
-                xs = pltpu.roll(xs, (-dx) % Wp, axis=2)
-                nb = xs[:, radius : radius + band, radius : radius + W]
-                sw = jnp.exp(r2.astype(jnp.float32) * jnp.float32(gs)) * in_circle
-                cd = jnp.sum(jnp.abs(nb - center), axis=0)
-                w = sw * jnp.exp(cd * cd * jnp.float32(gc))
-                return num + w[None] * nb, den + w
-
-            num0 = jnp.zeros((C, band, W), jnp.float32)
-            den0 = jnp.zeros((band, W), jnp.float32)
-            num, den = jax.lax.fori_loop(0, span * span, tap, (num0, den0))
-            res = jnp.clip(jnp.round(num / den[None]), 0, 255)
+            # Static unrolled taps over the prebuilt shifted copies: the dy
+            # row offset is a static (unaligned) sublane slice — a cheap
+            # masked read, unlike the lane relayouts hoisted above (Mosaic
+            # also rejects *dynamic* sublane offsets it cannot prove
+            # 8-aligned, so a dy fori_loop is not lowerable here).
+            for dy in range(span):
+                for dx in range(span):
+                    sw = float(sw_tab[dy, dx])
+                    if sw == 0.0:
+                        continue
+                    nb = shifted_ref[dx, :, dy : dy + band, :]
+                    cd = jnp.sum(jnp.abs(nb - center), axis=0)
+                    w = jnp.float32(sw) * jnp.exp(cd * cd * jnp.float32(gc))
+                    num_ref[:] = num_ref[:] + w[None] * nb
+                    den_ref[:] = den_ref[:] + w[None]
+            res = jnp.clip(jnp.round(num_ref[:] / den_ref[:]), 0, 255)
             out_ref[:] = res.astype(jnp.int32).astype(jnp.uint8)
 
         pl.run_scoped(
             body,
             band_ref=pltpu.VMEM((C, Bp, Wp), jnp.uint8),
+            shifted_ref=pltpu.VMEM((span, C, Bp, W), jnp.float32),
+            num_ref=pltpu.VMEM((C, band, W), jnp.float32),
+            den_ref=pltpu.VMEM((1, band, W), jnp.float32),
             sem=pltpu.SemaphoreType.DMA,
         )
 
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (C, band, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((C, Hq, W), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(padded)
     return out if Hq == H else out[:, :H, :]
 

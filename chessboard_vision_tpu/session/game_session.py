@@ -288,9 +288,14 @@ class GameSession:
             lifted=self.lifted_piece_square,
             radar=self.current_radar_destinations,
             fps=self.fps.fps,
+            clock_text=self.clock_hud(),
         )
         cv2.imshow("Board", vis)
         cv2.imshow("Camera", img_raw)
+
+    def clock_hud(self) -> str:
+        """Clock HUD line; sessions with a clock source override this."""
+        return ""
 
     def on_exit(self):
         pass

@@ -26,6 +26,10 @@ class LichessSession(GameSession):
         self.last_lichess_moves = ""
         self.stop_event = threading.Event()
         self._stream_thread = None
+        # Board API extras: auto-decline opponent draw offers unless the
+        # host app opts in; surface the clock for the HUD.
+        self.auto_decline_draws = True
+        self.draw_offered_by_opponent = False
 
     def connect_and_setup(self, interactive: bool = True) -> bool:
         self.log.info("connecting to Lichess...")
@@ -83,7 +87,38 @@ class LichessSession(GameSession):
                     self.log.info("game finished: %s", status)
                     self.stop_event.set()
                 else:
+                    self._handle_draw_flags(event)
                     self._sync_moves(event.get("moves", ""))
+
+    def _handle_draw_flags(self, event: dict):
+        """wdraw/bdraw mark a pending draw offer from that side."""
+        opp_flag = "bdraw" if self.my_color == "white" else "wdraw"
+        offered = bool(event.get(opp_flag))
+        if offered and not self.draw_offered_by_opponent:
+            self.log.info("opponent offered a draw")
+            if self.auto_decline_draws:
+                self.lichess.handle_draw_offer(False)
+                offered = False
+        self.draw_offered_by_opponent = offered
+
+    def clock_hud(self) -> str:
+        """'W 4:32 | B 5:01' from the latest clock snapshot ('' if none)."""
+        clk = self.lichess.clock
+        if clk is None:
+            return ""
+        stm = None
+        if self.last_lichess_moves is not None:
+            n = len(self.last_lichess_moves.split()) if self.last_lichess_moves else 0
+            stm = "white" if n % 2 == 0 else "black"
+
+        def fmt(ms):
+            s = ms // 1000
+            return f"{s // 60}:{s % 60:02d}"
+
+        return (
+            f"W {fmt(clk.remaining_ms('white', stm))} | "
+            f"B {fmt(clk.remaining_ms('black', stm))}"
+        )
 
     def _sync_moves(self, moves_str: str):
         """Replay the authoritative server move list (double-checked lock)."""

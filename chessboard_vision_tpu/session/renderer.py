@@ -53,6 +53,7 @@ def draw_board_overlay(
     lifted=None,
     radar=(),
     fps: float = 0.0,
+    clock_text: str = "",
 ):
     import cv2
 
@@ -128,4 +129,9 @@ def draw_board_overlay(
     cv2.putText(
         vis, f"FPS: {fps:.1f}", (board_size - 150, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 255, 255), 2
     )
+    if clock_text:
+        cv2.putText(
+            vis, clock_text, (10, board_size - 12),
+            cv2.FONT_HERSHEY_SIMPLEX, 0.6, (255, 255, 255), 2,
+        )
     return vis

@@ -115,3 +115,22 @@ class CalibrationModule:
                 save_json_config(CALIBRATION_FILE, config)
                 cv2.destroyAllWindows()
                 return config
+
+
+def main():
+    """Console entry: open the default camera and run the click UI
+    (reference play_lichess.py:16-18 camera settings)."""
+    import cv2
+
+    cap = cv2.VideoCapture(0)
+    cap.set(cv2.CAP_PROP_FRAME_WIDTH, 1280)
+    cap.set(cv2.CAP_PROP_FRAME_HEIGHT, 720)
+    try:
+        config = CalibrationModule().run(cap)
+        print("[calib] done" if config else "[calib] cancelled")
+    finally:
+        cap.release()
+
+
+if __name__ == "__main__":
+    main()

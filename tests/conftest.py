@@ -9,20 +9,25 @@ import os
 
 # Must be set before jax initializes its backends. NB: the axon TPU plugin
 # in this image ignores the JAX_PLATFORMS *env var*, so we also force the
-# platform through jax.config (which does work).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# platform through jax.config (which does work). Set CBV_TEST_TPU=1 to run
+# on the real TPU instead (e.g. `CBV_TEST_TPU=1 pytest tests/ -m tpu` for
+# the Mosaic-kernel parity tests, which skip on CPU).
+_USE_TPU = os.environ.get("CBV_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: makes repeated test runs fast.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")

@@ -137,3 +137,140 @@ class TestSeek:
         post.return_value = resp
         c = make_client()
         assert c.seek_game() == "g123"
+
+
+class TestBoardApiExtras:
+    """Draw offers, takeback, abort, claim-victory, chat, offeringDraw."""
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    def test_move_with_draw_offer(self, post):
+        post.return_value = mock.MagicMock(status_code=200)
+        c = make_client()
+        c.current_game_id = "abc"
+        assert c.make_move("e2e4", offering_draw=True)
+        assert post.call_args.kwargs["params"] == {"offeringDraw": "true"}
+        assert c.make_move("e7e5")
+        assert post.call_args.kwargs["params"] is None
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    def test_draw_takeback_abort_claim(self, post):
+        post.return_value = mock.MagicMock(status_code=200)
+        c = make_client()
+        c.current_game_id = "abc"
+        assert c.handle_draw_offer(True)
+        assert post.call_args[0][0].endswith("/abc/draw/yes")
+        assert c.handle_draw_offer(False)
+        assert post.call_args[0][0].endswith("/abc/draw/no")
+        assert c.handle_takeback(True)
+        assert post.call_args[0][0].endswith("/abc/takeback/yes")
+        assert c.abort()
+        assert post.call_args[0][0].endswith("/abc/abort")
+        assert c.claim_victory()
+        assert post.call_args[0][0].endswith("/abc/claim-victory")
+
+    def test_extras_without_game_are_false(self):
+        c = make_client()
+        assert not c.abort()
+        assert not c.handle_draw_offer(True)
+        assert not c.send_chat("hi")
+        assert c.get_chat() == []
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    def test_send_chat(self, post):
+        post.return_value = mock.MagicMock(status_code=200)
+        c = make_client()
+        c.current_game_id = "abc"
+        assert c.send_chat("good game", room="spectator")
+        assert post.call_args.kwargs["data"] == {"room": "spectator", "text": "good game"}
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
+    def test_get_chat(self, get):
+        resp = mock.MagicMock(status_code=200)
+        resp.json.return_value = [{"text": "glhf", "user": "opp"}]
+        get.return_value = resp
+        c = make_client()
+        c.current_game_id = "abc"
+        assert c.get_chat() == [{"text": "glhf", "user": "opp"}]
+
+
+class TestClock:
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
+    def test_stream_updates_clock(self, get):
+        events = [
+            {"type": "gameFull", "white": {"id": "tester"}, "black": {"id": "opp"},
+             "state": {"moves": "", "wtime": 600000, "btime": 600000,
+                       "winc": 5000, "binc": 5000}},
+            {"type": "gameState", "moves": "e2e4", "status": "started",
+             "wtime": 595000, "btime": 600000, "winc": 5000, "binc": 5000},
+        ]
+        resp = mock.MagicMock(status_code=200)
+        resp.iter_lines.return_value = [json.dumps(e).encode() for e in events]
+        get.return_value = resp
+        c = make_client()
+        c.username = "tester"
+        list(c.stream_game("gid"))
+        assert c.clock is not None
+        assert c.clock.wtime_ms == 595000
+        assert c.clock.winc_ms == 5000
+
+    def test_remaining_extrapolates_side_to_move(self):
+        from chessboard_vision_tpu.net.lichess_client import ClockState
+        import time as _time
+
+        clk = ClockState(wtime_ms=60000, btime_ms=60000, at=_time.monotonic() - 2.0)
+        # side to move burns ~2 s; the waiting side does not
+        assert clk.remaining_ms("white", "white") <= 58100
+        assert clk.remaining_ms("black", "white") == 60000
+        # raw snapshot when side_to_move is unknown
+        assert clk.remaining_ms("white", None) == 60000
+        # never negative
+        clk2 = ClockState(wtime_ms=500, at=_time.monotonic() - 5.0)
+        assert clk2.remaining_ms("white", "white") == 0
+
+
+class TestSessionDrawHandling:
+    def test_auto_decline_draw_offer(self):
+        from chessboard_vision_tpu.session.lichess_session import LichessSession
+
+        client = mock.MagicMock()
+        s = LichessSession.__new__(LichessSession)
+        s.lichess = client
+        s.my_color = "white"
+        s.draw_offered_by_opponent = False
+        s.auto_decline_draws = True
+        import logging
+
+        s.log = logging.getLogger("test")
+        s._handle_draw_flags({"bdraw": True})
+        client.handle_draw_offer.assert_called_once_with(False)
+        assert not s.draw_offered_by_opponent
+
+    def test_surfaced_draw_offer_when_not_auto(self):
+        from chessboard_vision_tpu.session.lichess_session import LichessSession
+
+        client = mock.MagicMock()
+        s = LichessSession.__new__(LichessSession)
+        s.lichess = client
+        s.my_color = "black"
+        s.draw_offered_by_opponent = False
+        s.auto_decline_draws = False
+        import logging
+
+        s.log = logging.getLogger("test")
+        s._handle_draw_flags({"wdraw": True})
+        client.handle_draw_offer.assert_not_called()
+        assert s.draw_offered_by_opponent
+
+    def test_clock_hud_format(self):
+        from chessboard_vision_tpu.session.lichess_session import LichessSession
+        from chessboard_vision_tpu.net.lichess_client import ClockState
+
+        client = mock.MagicMock()
+        client.clock = ClockState(wtime_ms=272000, btime_ms=301000, at=0.0)
+        s = LichessSession.__new__(LichessSession)
+        s.lichess = client
+        s.last_lichess_moves = "e2e4"
+        hud = s.clock_hud()
+        assert hud == "W 4:32 | B 5:01"
+        client.clock = None
+        assert s.clock_hud() == ""

@@ -15,16 +15,22 @@ from chessboard_vision_tpu.ops.pallas import bilateral as pb
 
 def test_band_picker():
     # bands must be 8-divisible (Mosaic output-block sublane constraint)
-    assert pb._pick_band(720) == 120
-    assert pb._pick_band(620) is None  # no 8-divisible divisor in range
-    assert pb._pick_band(1080) % 8 == 0
-    assert pb._pick_band(719) is None  # prime
+    assert pb._pick_band(720, 32, 128) == 120
+    assert pb._pick_band(620, 32, 128) is None  # no 8-divisible divisor
+    assert pb._pick_band(719, 32, 128) is None  # prime
+
+    # the band cap shrinks with width (scoped-VMEM budget) but stays >= 8
+    for w in (77, 620, 1280, 1920, 4096):
+        cap = pb._band_cap(w)
+        assert cap % 8 == 0 and 8 <= cap <= 128
 
     # the pad picker always succeeds: hp >= h, hp % band == 0
-    for h in (620, 719, 77, 33, 1080):
-        hp, band = pb._pick_pad_band(h)
-        assert hp >= h and hp % band == 0 and band % 8 == 0 and 32 <= band <= 128
-    assert pb._pick_pad_band(720) == (720, 120)  # no pad when h already fits
+    for h, w in ((620, 620), (719, 1280), (77, 77), (33, 620), (1080, 1920)):
+        hp, band = pb._pick_pad_band(h, w)
+        assert hp >= h and hp % band == 0 and band % 8 == 0 and 8 <= band <= 128
+        assert band <= pb._band_cap(w)
+    # no pad when h already has a fitting band
+    assert pb._pick_pad_band(720, 1280)[0] == 720
 
 
 def test_best_falls_back_on_cpu(rng):

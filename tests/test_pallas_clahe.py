@@ -1,0 +1,65 @@
+"""Pallas CLAHE kernels: histogram + LUT-apply parity.
+
+Both Mosaic kernels (ops/pallas/clahe_apply.py) need a TPU; on CPU we
+verify the backend seam resolves to the XLA form. The TPU parity tests
+compare against cv2.createCLAHE (the reference oracle,
+frame_enhancer.py:101-120) and a numpy histogram.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chessboard_vision_tpu.ops.enhance import clahe
+
+
+@pytest.mark.skipif(jax.default_backend() == "tpu", reason="auto = pallas on TPU")
+def test_auto_is_xla_on_cpu(rng):
+    x = jnp.asarray(rng.integers(0, 256, (128, 160), np.uint8))
+    assert np.array_equal(
+        np.asarray(clahe(x, backend="auto")), np.asarray(clahe(x, backend="xla"))
+    )
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="Mosaic kernel needs TPU")
+@pytest.mark.parametrize("shape", [(620, 620), (720, 1280)])
+def test_hist_matches_numpy_on_tpu(rng, shape):
+    from chessboard_vision_tpu.ops.pallas.clahe_apply import clahe_hist_pallas
+
+    H, W = shape
+    tiles = 8
+    th, tw = -(-H // tiles), -(-W // tiles)
+    pad = np.pad(
+        rng.integers(0, 256, (H, W), np.uint8),
+        ((0, th * tiles - H), (0, tw * tiles - W)),
+        mode="reflect",
+    )
+    hist = np.asarray(clahe_hist_pallas(jnp.asarray(pad), th, tw, tiles))
+    ref = np.stack(
+        [
+            np.bincount(
+                pad[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw].ravel(),
+                minlength=256,
+            )
+            for ty in range(tiles)
+            for tx in range(tiles)
+        ]
+    )
+    assert np.array_equal(hist, ref)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="Mosaic kernel needs TPU")
+@pytest.mark.parametrize("shape", [(620, 620), (720, 1280), (77, 77)])
+def test_pallas_clahe_matches_cv2_on_tpu(rng, shape):
+    """Full pallas path (hist + apply) vs the cv2 oracle: <=1 level, and
+    an order of magnitude fewer tie pixels than the XLA-on-TPU form (whose
+    f32 matmul goes through the MXU's bf16 decomposition)."""
+    cv2 = pytest.importorskip("cv2")
+
+    x = rng.integers(0, 256, shape, np.uint8)
+    ref = cv2.createCLAHE(3.0, (8, 8)).apply(x)
+    out = np.asarray(clahe(jnp.asarray(x), backend="pallas")).astype(int)
+    d = np.abs(out - ref.astype(int))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 1e-3
