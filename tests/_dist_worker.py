@@ -1,0 +1,62 @@
+"""Worker for tests/test_distributed.py: one process of a 2-process CPU
+fleet. Validates the multi-host mesh design end-to-end on this machine:
+distributed init (Gloo collectives), global "data" mesh, per-process
+stream contribution via distribute_local_streams, a sharded jit with a
+cross-process reduction, and host-locality of addressable shards.
+"""
+
+import os
+import sys
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["CBV_COORDINATOR"] = f"localhost:{port}"
+os.environ["CBV_NUM_PROCESSES"] = "2"
+os.environ["CBV_PROCESS_ID"] = str(pid)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from chessboard_vision_tpu.parallel.distributed import (  # noqa: E402
+    distribute_local_streams,
+    global_stream_mesh,
+    init_distributed,
+)
+from chessboard_vision_tpu.parallel.mesh import replicated, stream_sharding  # noqa: E402
+
+assert init_distributed(), "distributed init failed"
+assert jax.process_count() == 2 and jax.device_count() == 8
+
+mesh = global_stream_mesh()
+assert mesh.devices.shape == (8,)
+
+# Each host contributes 4 streams of tiny (3, 8, 8) frames carrying its
+# process id; the fleet batch is (8, 3, 8, 8) sharded over "data".
+local = np.full((4, 3, 8, 8), pid, np.float32)
+g = distribute_local_streams(mesh, local)
+assert g.shape == (8, 3, 8, 8)
+
+# Host-locality: this process's addressable shards hold exactly its own
+# streams (stream frames never cross DCN).
+for shard in g.addressable_shards:
+    np.testing.assert_array_equal(np.asarray(shard.data), pid)
+
+# A per-stream map + fleet-level reduction (the only cross-DCN traffic).
+per_stream = jax.jit(
+    lambda x: x.mean(axis=(1, 2, 3)),
+    out_shardings=stream_sharding(mesh),
+)(g)
+fleet_total = jax.jit(
+    lambda x: x.sum(),
+    out_shardings=replicated(mesh),
+)(per_stream)
+assert float(fleet_total) == 4.0, float(fleet_total)  # 4 streams of 1s
+
+print(f"OK proc={pid}", flush=True)
