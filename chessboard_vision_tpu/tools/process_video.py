@@ -1,0 +1,153 @@
+"""Process a recorded video file: frames -> moves -> FEN timeline.
+
+The reference only supports live cameras (play_lichess.py:16-18 /
+test_piece_detector.py); this tool runs the same session pipeline over
+recorded footage — the standard way to digitize an already-filmed game
+or to build regression clips from real material.
+
+Usage:
+  python -m chessboard_vision_tpu.tools.process_video game.mp4 \
+      --calibration calibration.json --out timeline.jsonl
+
+Emits each committed move as it is detected and (optionally) a JSONL
+timeline: {"frame": i, "move": "e2e4", "fen": "..."} per committed move
+plus a final summary record. Frame skipping matches the reference's
+SKIP_FRAMES=2 cadence (play_lichess.py:12,52-56) by default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from chessboard_vision_tpu.session.game_session import GameSession
+from chessboard_vision_tpu.utils.config import load_json_config
+from chessboard_vision_tpu.utils.logging import get_logger
+
+log = get_logger("process_video")
+
+
+def parse_corners(text: str):
+    """'x1,y1 x2,y2 x3,y3 x4,y4' -> [[x,y], ...]."""
+    pts = []
+    for tok in text.split():
+        x, y = tok.split(",")
+        pts.append([int(x), int(y)])
+    if len(pts) != 4:
+        raise ValueError("need exactly 4 corners")
+    return pts
+
+
+def run(
+    video_path: str,
+    config: dict,
+    skip_frames: int = 2,
+    reference_frames: int = 3,
+    out_path: str | None = None,
+    max_frames: int | None = None,
+    session: GameSession | None = None,
+):
+    """Process the video; returns (moves, final_fen, frames_processed)."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {video_path}")
+
+    if session is None:
+        session = GameSession(headless=True)
+        session.MOVE_COOLDOWN = 0.0  # wall-clock gating is meaningless offline
+    assert session.on_calibration_requested(None, config=config)
+
+    # Reference capture from the first frames (reference
+    # game_session.capture_reference does 10 warmup reads on live cameras;
+    # recorded footage is stable from frame 0).
+    ref = None
+    for _ in range(max(reference_frames, 1)):
+        ok, img = cap.read()
+        if not ok:
+            raise ValueError("video ended before a reference frame was read")
+        ref = img
+    session.capture_reference_frame(ref)
+
+    out_f = open(out_path, "w") if out_path else None
+    moves = []
+    i = 0
+    processed = 0
+    try:
+        while True:
+            ok, img = cap.read()
+            if not ok:
+                break
+            i += 1
+            if skip_frames > 1 and i % skip_frames:
+                continue
+            processed += 1
+            move = session.on_frame(img)
+            if move is not None:
+                moves.append(move.uci())
+                fen = session.game.get_fen()
+                log.info("frame %d: %s -> %s", i, move.uci(), fen)
+                print(f"[{i}] {move.uci()}  {fen}")
+                if out_f:
+                    out_f.write(
+                        json.dumps({"frame": i, "move": move.uci(), "fen": fen}) + "\n"
+                    )
+            if max_frames and processed >= max_frames:
+                break
+        final_fen = session.game.get_fen()
+        if out_f:
+            out_f.write(
+                json.dumps(
+                    {"final_fen": final_fen, "moves": moves, "frames": processed}
+                )
+                + "\n"
+            )
+        return moves, final_fen, processed
+    finally:
+        if out_f:
+            out_f.close()
+        cap.release()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("video", help="video file path (any OpenCV-readable format)")
+    ap.add_argument("--calibration", default="calibration.json",
+                    help="calibration JSON (corners etc.)")
+    ap.add_argument("--corners", default=None,
+                    help="override: 'x1,y1 x2,y2 x3,y3 x4,y4' (TL TR BL BR)")
+    ap.add_argument("--skip-frames", type=int, default=2,
+                    help="process every Nth frame (reference SKIP_FRAMES)")
+    ap.add_argument("--out", default=None, help="JSONL timeline output path")
+    ap.add_argument("--max-frames", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    if args.corners:
+        config = {
+            "corners": parse_corners(args.corners),
+            "player_color": "white",
+            "orientation_flipped": False,
+            "grid_lines_x": None,
+            "grid_lines_y": None,
+        }
+    else:
+        config = load_json_config(args.calibration)
+        if config is None:
+            print(f"no calibration at {args.calibration}; pass --corners", file=sys.stderr)
+            return 2
+
+    moves, fen, n = run(
+        args.video, config, skip_frames=args.skip_frames,
+        out_path=args.out, max_frames=args.max_frames,
+    )
+    print(f"\n{len(moves)} moves over {n} processed frames")
+    print(f"final FEN: {fen}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
