@@ -293,6 +293,81 @@ class GameSession:
         cv2.imshow("Board", vis)
         cv2.imshow("Camera", img_raw)
 
+    # -- checkpoint / resume ---------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        """Snapshot the full session mid-game: pipeline device state
+        (visual references, EMA background model, detection history) +
+        host state (board FEN, noise FSM, stability gate, config).
+
+        The reference could only resume board geometry from JSON and the
+        game from the Lichess server (SURVEY.md §5); this resumes the
+        whole session locally without re-calibrating or re-referencing.
+        """
+        from chessboard_vision_tpu.utils.checkpoint import save_tree
+
+        with self.board_lock:
+            meta = {
+                "fen": self.game.get_fen(),
+                "config": self.config,
+                "frame_count": self.frame_count,
+                "stable_count": self.stable_count,
+                "stable_occupancy": (
+                    sorted(self.stable_occupancy)
+                    if self.stable_occupancy is not None
+                    else None
+                ),
+                "noise": {
+                    "state": self.noise.state.name,
+                    "stable_count": self.noise.stable_count,
+                    "cooldown_count": self.noise.cooldown_count,
+                    "pending_squares": sorted(self.noise.pending_squares),
+                    "last_lifted_square": self.noise.last_lifted_square,
+                },
+            }
+            save_tree(path, self.pipe_state, meta)
+        self.log.info("checkpoint saved: %s", path)
+
+    def resume_checkpoint(self, path: str):
+        """Restore a save_checkpoint snapshot. Rebuilds the pipeline from
+        the stored config when this session is not configured yet."""
+        from chessboard_vision_tpu.utils.checkpoint import load_tree
+        from chessboard_vision_tpu.session.noise import NoiseState
+
+        # Peek the meta first when we still need the config to build the
+        # pipeline (the tree template requires a configured pipeline).
+        if self.pipeline is None:
+            import json as _json
+
+            with np.load(path) as data:
+                cfg = _json.loads(
+                    bytes(data["__meta__"].tobytes()).decode("utf-8")
+                )["config"]
+            self.configure(cfg)
+        with self.board_lock:
+            self.pipe_state, meta = load_tree(path, self.pipeline.init_state())
+            self.game.set_fen(meta["fen"])
+            self.frame_count = meta["frame_count"]
+            self.stable_count = meta["stable_count"]
+            self.stable_occupancy = (
+                set(map(tuple, meta["stable_occupancy"]))
+                if meta["stable_occupancy"] is not None
+                else None
+            )
+            n = meta["noise"]
+            self.noise.state = NoiseState[n["state"]]
+            self.noise.stable_count = n["stable_count"]
+            self.noise.cooldown_count = n["cooldown_count"]
+            self.noise.pending_squares = set(map(tuple, n["pending_squares"]))
+            self.noise.last_lifted_square = (
+                tuple(n["last_lifted_square"])
+                if n["last_lifted_square"] is not None
+                else None
+            )
+            self.status = self.STATE_IDLE
+        self.log.info("checkpoint resumed: %s (FEN %s)", path, meta["fen"])
+        return meta
+
     def clock_hud(self) -> str:
         """Clock HUD line; sessions with a clock source override this."""
         return ""

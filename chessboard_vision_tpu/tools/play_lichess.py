@@ -30,6 +30,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--camera", type=int, default=CAMERA_ID)
     ap.add_argument("--no-ring", action="store_true", help="poll camera inline")
+    ap.add_argument("--resume", default=None, metavar="CKPT",
+                    help="resume a session checkpoint (skips calibration + "
+                    "reference capture)")
+    ap.add_argument("--checkpoint", default="session_checkpoint.npz",
+                    metavar="CKPT", help="path the 'k' key saves to")
     args = ap.parse_args(argv)
 
     cap = cv2.VideoCapture(args.camera)
@@ -40,7 +45,10 @@ def main(argv=None):
         return 1
 
     session = LichessSession()
-    if not session.on_calibration_requested(cap):
+    if args.resume:
+        session.resume_checkpoint(args.resume)
+        print(f"resumed from {args.resume}: {session.game.get_fen()}")
+    elif not session.on_calibration_requested(cap):
         print("calibration cancelled")
         cap.release()
         return 1
@@ -49,7 +57,8 @@ def main(argv=None):
         return 1
 
     print(f"playing as: {session.my_color or 'awaiting stream...'}")
-    print("'q' quits, 'c' re-captures the visual reference\n")
+    print("'q' quits, 'c' re-captures the visual reference, "
+          f"'k' checkpoints to {args.checkpoint}\n")
 
     use_ring = native.AVAILABLE and not args.no_ring
     ring = None
@@ -91,6 +100,9 @@ def main(argv=None):
             if key == ord("c"):
                 print("[re-reference]")
                 session.capture_reference_frame(img)
+            if key == ord("k"):
+                session.save_checkpoint(args.checkpoint)
+                print(f"[checkpoint] {args.checkpoint}")
     finally:
         stop.set()
         session.on_exit()

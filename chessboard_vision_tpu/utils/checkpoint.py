@@ -1,0 +1,53 @@
+"""Session checkpointing: device-state pytrees + host metadata in one npz.
+
+The reference's only resumable state is JSON configs plus the Lichess
+server's move list (SURVEY.md §5 checkpoint/resume); this adds true
+mid-game snapshots — the pipeline's device state (visual references, EMA
+background model, detection history) and the session's host state — so a
+crashed or intentionally stopped session resumes without re-calibrating
+or re-referencing the board.
+
+Format: np.savez_compressed with the pytree leaves in jax.tree order
+(``leaf_<i>``) plus a JSON metadata blob (``__meta__``). Loading
+unflattens against a template tree (e.g. ``pipeline.init_state()``), so
+the format needs no pickled structure.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def save_tree(path: str, tree: Any, meta: dict) -> None:
+    """Save a pytree's leaves + a JSON-serializable metadata dict."""
+    leaves = jax.tree.leaves(tree)
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
+
+
+def load_tree(path: str, template: Any) -> Tuple[Any, dict]:
+    """Load (tree, meta); tree structure/dtypes come from ``template``."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"].tobytes()).decode("utf-8"))
+        treedef = jax.tree.structure(template)
+        t_leaves = jax.tree.leaves(template)
+        leaves = []
+        for i, tmpl in enumerate(t_leaves):
+            arr = data[f"leaf_{i}"]
+            if arr.shape != tuple(np.shape(tmpl)):
+                raise ValueError(
+                    f"checkpoint leaf {i} shape {arr.shape} != template "
+                    f"{np.shape(tmpl)} — was the pipeline built with a "
+                    "different geometry?"
+                )
+            leaves.append(jnp.asarray(arr))
+    return jax.tree.unflatten(treedef, leaves), meta
