@@ -23,18 +23,18 @@ _TG22 = 13573  # tan(22.5 deg) * 2^15, OpenCV's fixed-point constant
 
 
 def _shift2(x, dy, dx):
-    """Shift a (..., H, W) array, filling vacated cells with zero/False."""
-    out = jnp.roll(x, shift=(dy, dx), axis=(-2, -1))
-    zero = jnp.zeros((), x.dtype)
-    if dy > 0:
-        out = out.at[..., :dy, :].set(zero)
-    elif dy < 0:
-        out = out.at[..., dy:, :].set(zero)
-    if dx > 0:
-        out = out.at[..., :, :dx].set(zero)
-    elif dx < 0:
-        out = out.at[..., :, dx:].set(zero)
-    return out
+    """Shift a (..., H, W) array, filling vacated cells with zero/False.
+
+    Pad + static slice (NOT roll + .at[].set: on TPU the roll is a
+    relayout and each boundary zero-fill a dynamic-update-slice — the
+    twelve of them in NMS cost ~0.3 ms/step at 1080p; the pad/slice form
+    fuses to nothing)."""
+    h, w = x.shape[-2], x.shape[-1]
+    pt, pb = max(dy, 0), max(-dy, 0)
+    pl, pr = max(dx, 0), max(-dx, 0)
+    pad = [(0, 0)] * (x.ndim - 2) + [(pt, pb), (pl, pr)]
+    xp = jnp.pad(x, pad)
+    return xp[..., pb : pb + h, pr : pr + w]
 
 
 def _dilate3(x: jnp.ndarray) -> jnp.ndarray:
