@@ -109,10 +109,29 @@ def clip_shadow():
     return ref_frame, frames, s2c
 
 
+def clip_video():
+    """clip_hard pushed through a JPEG encode/decode round trip at
+    quality 90 — the compression texture of recorded footage
+    (BASELINE.json asks for parity "on recorded game footage"): DCT
+    ringing at piece edges, block artifacts over the wood grain, chroma
+    subsampling. MJPG video (tools/process_video.py's test format) is
+    JPEG per frame, so this is the decoded-video decision surface."""
+    import cv2
+
+    ref_frame, frames, s2c = clip_hard()
+    q = [int(cv2.IMWRITE_JPEG_QUALITY), 90]
+
+    def rt(f):
+        return cv2.imdecode(cv2.imencode(".jpg", f, q)[1], cv2.IMREAD_COLOR)
+
+    return rt(ref_frame), [rt(f) for f in frames], s2c
+
+
 CLIPS = {
     "clean": (clip_clean, os.path.join(HERE, "golden_clip.json")),
     "hard": (clip_hard, os.path.join(HERE, "golden_clip_hard.json")),
     "shadow": (clip_shadow, os.path.join(HERE, "golden_clip_shadow.json")),
+    "video": (clip_video, os.path.join(HERE, "golden_clip_video.json")),
 }
 
 
