@@ -23,3 +23,31 @@ Layer map (mirrors reference layers, see SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import chessboard_vision_tpu` free of
+    jax/cv2 imports): the BASELINE-named convenience entry points plus the
+    main classes."""
+    _api = {
+        "enhance_frame", "extract_grid", "detect_pieces", "detect_changes",
+        "frame_to_fen", "generate_fen", "occupancy_to_fen",
+        "occupancy_to_colored_fen",
+    }
+    if name in _api:
+        from chessboard_vision_tpu import api
+
+        return getattr(api, name)
+    if name == "VisionPipeline":
+        from chessboard_vision_tpu.models.pipeline import VisionPipeline
+
+        return VisionPipeline
+    if name == "GameSession":
+        from chessboard_vision_tpu.session.game_session import GameSession
+
+        return GameSession
+    if name == "BoardGeometry":
+        from chessboard_vision_tpu.geometry import BoardGeometry
+
+        return BoardGeometry
+    raise AttributeError(f"module 'chessboard_vision_tpu' has no attribute {name!r}")

@@ -1,0 +1,132 @@
+"""Top-level convenience API — the BASELINE-named entry points.
+
+BASELINE.json names the public surface a reference user expects:
+``enhance_frame, extract_grid, detect_pieces, detect_changes, FEN
+generation``. These are one-call host-convenience wrappers (numpy HWC
+in/out) over the fused device pipeline; production code uses
+`models.pipeline.VisionPipeline` / `session.GameSession` directly, where
+the whole frame->FEN step is one XLA call and state is threaded
+explicitly.
+
+Pipelines are cached per (corners, grid, settings) key, so repeated
+calls with one rig's calibration reuse the compiled step.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Iterable, Optional, Set, Tuple
+
+import numpy as np
+
+from chessboard_vision_tpu import geometry as geo
+from chessboard_vision_tpu.rules.fen import (  # noqa: F401  (re-exports)
+    generate_fen,
+    map_detections_to_board,
+    occupancy_to_colored_fen,
+    occupancy_to_fen,
+)
+
+SquareTuple = Tuple[int, int]
+
+_pipelines: dict = {}
+
+
+def enhance_frame(frame: np.ndarray, profile: Optional[dict] = None) -> np.ndarray:
+    """5-stage enhancement of an HWC BGR u8 frame (reference
+    frame_enhancer.process_pipeline: color profile -> CLAHE-on-LAB-L ->
+    bilateral -> sharpen -> min-max normalize)."""
+    from chessboard_vision_tpu.models.enhancer import ImageEnhancerTPU
+
+    return ImageEnhancerTPU(profile=profile).process_pipeline(frame)
+
+
+def extract_grid(
+    frame: np.ndarray,
+    corners,
+    grid_x=None,
+    grid_y=None,
+) -> Dict[SquareTuple, np.ndarray]:
+    """Warp the frame to the top-down board and split into 64 square
+    images keyed (file, rank), a1=(0, 0) — reference
+    GridExtractor.split_board semantics (linear or smart-grid lines)."""
+    import cv2
+
+    pts = geo.reorder(corners)
+    g = geo.BoardGeometry.from_calibration(corners)
+    bs = g.board_size
+    M = cv2.getPerspectiveTransform(
+        np.float32(np.asarray(pts, np.float64)).reshape(4, 2),
+        np.float32([[0, 0], [bs, 0], [0, bs], [bs, bs]]),
+    )
+    warped = cv2.warpPerspective(frame, M, (bs, bs))
+    return geo.split_board_dict(warped, grid_x, grid_y)
+
+
+def _pipeline_for(corners, settings: Optional[dict]):
+    key = (
+        json.dumps(np.asarray(corners).tolist()),
+        json.dumps(settings, sort_keys=True) if settings else None,
+    )
+    if key not in _pipelines:
+        from chessboard_vision_tpu.models.pipeline import VisionPipeline
+
+        g = geo.BoardGeometry.from_calibration(corners)
+        pipe = VisionPipeline(g, piece_settings=settings)
+        _pipelines[key] = (pipe, pipe.init_state())
+    return _pipelines[key]
+
+
+def detect_pieces(
+    frame: np.ndarray,
+    corners,
+    reference_frame: Optional[np.ndarray] = None,
+    settings: Optional[dict] = None,
+) -> Set[SquareTuple]:
+    """Occupied squares of one HWC BGR frame: the full per-square cascade
+    (Hough circle / center-diff / ring symmetry — reference
+    piece_detector.detect_all_pieces) as one fused device step.
+
+    Stateless convenience: temporal smoothing and the delta cache are
+    disabled (single-frame semantics). reference_frame, when given,
+    provides the visual reference the center-diff method compares
+    against."""
+    pipe, state = _pipeline_for(corners, settings)
+    if reference_frame is not None:
+        state = pipe.capture_reference(state, reference_frame)
+    _, out = pipe.step(state, frame, use_smoothing=False, use_delta=False)
+    from chessboard_vision_tpu.models.pipeline import occupancy_to_set
+
+    return occupancy_to_set(out.occupancy)
+
+
+def detect_changes(
+    frame: np.ndarray,
+    corners,
+    reference_frame: np.ndarray,
+    settings: Optional[dict] = None,
+) -> Set[SquareTuple]:
+    """Squares whose content changed vs the reference frame (the EMA
+    z-score background model, reference change_detector semantics),
+    single-shot: calibrate on the reference, detect on the frame."""
+    pipe, state = _pipeline_for(corners, settings)
+    state = pipe.capture_reference(state, reference_frame)
+    _, out = pipe.step(state, frame, use_smoothing=False, use_delta=False)
+    # change_intensity: 0 = none, 1/2/3 = LEVE/PARCIAL/TOTAL (reference
+    # change_detector.detect_changes_detailed intensity classes).
+    changed = np.asarray(out.change_intensity) > 0
+    return {(int(i) % 8, int(i) // 8) for i in np.nonzero(changed)[0]}
+
+
+def frame_to_fen(
+    frame: np.ndarray,
+    corners,
+    reference_frame: Optional[np.ndarray] = None,
+    settings: Optional[dict] = None,
+) -> str:
+    """One frame -> occupancy FEN (placement field uses 'P' per piece)."""
+    occ = detect_pieces(frame, corners, reference_frame, settings)
+    mask = np.zeros((8, 8), bool)
+    for f, r in occ:
+        mask[f, r] = True
+    return occupancy_to_fen(mask)
