@@ -32,13 +32,20 @@ SquareTuple = Tuple[int, int]
 _pipelines: dict = {}
 
 
+_enhancers: dict = {}
+
+
 def enhance_frame(frame: np.ndarray, profile: Optional[dict] = None) -> np.ndarray:
     """5-stage enhancement of an HWC BGR u8 frame (reference
     frame_enhancer.process_pipeline: color profile -> CLAHE-on-LAB-L ->
-    bilateral -> sharpen -> min-max normalize)."""
+    bilateral -> sharpen -> min-max normalize). Enhancers are cached per
+    profile so repeated calls reuse the compiled pipeline."""
     from chessboard_vision_tpu.models.enhancer import ImageEnhancerTPU
 
-    return ImageEnhancerTPU(profile=profile).process_pipeline(frame)
+    key = json.dumps(profile, sort_keys=True) if profile else None
+    if key not in _enhancers:
+        _enhancers[key] = ImageEnhancerTPU(profile=profile)
+    return _enhancers[key].process_pipeline(frame)
 
 
 def extract_grid(
@@ -64,6 +71,11 @@ def extract_grid(
 
 
 def _pipeline_for(corners, settings: Optional[dict]):
+    """Cached pipeline per calibration. donate_state=False: these
+    stateless convenience calls feed a cached/shared PipelineState into
+    step(), which with donation would delete the cached buffers after the
+    first call on TPU (the production path threads its own state and
+    keeps donation on)."""
     key = (
         json.dumps(np.asarray(corners).tolist()),
         json.dumps(settings, sort_keys=True) if settings else None,
@@ -72,7 +84,7 @@ def _pipeline_for(corners, settings: Optional[dict]):
         from chessboard_vision_tpu.models.pipeline import VisionPipeline
 
         g = geo.BoardGeometry.from_calibration(corners)
-        pipe = VisionPipeline(g, piece_settings=settings)
+        pipe = VisionPipeline(g, piece_settings=settings, donate_state=False)
         _pipelines[key] = (pipe, pipe.init_state())
     return _pipelines[key]
 

@@ -79,7 +79,11 @@ def bilateral(planar: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     a backend. Both produce identical outputs (parity:
     tests/test_pallas_bilateral.py on TPU)."""
     if backend == "auto":
-        use_pallas = jax.default_backend() == "tpu"
+        from chessboard_vision_tpu.ops.pallas.bilateral import pallas_supported
+
+        use_pallas = jax.default_backend() == "tpu" and pallas_supported(
+            planar.shape[-2], planar.shape[-1]
+        )
     elif backend == "pallas":
         use_pallas = True
     elif backend == "xla":

@@ -178,10 +178,22 @@ def bilateral_planar_pallas(
     return out if Hq == H else out[:, :H, :]
 
 
+def pallas_supported(h: int, w: int, d: int = 9) -> bool:
+    """Whether the Mosaic kernel's reflect pad is expressible: jnp.pad
+    mode='reflect' needs every pad width <= dim-1, and the bottom pad is
+    radius + (Hq - h) after band alignment — tiny crops fall back to XLA."""
+    radius = d // 2
+    if h <= radius or w <= radius:
+        return False
+    hq, _ = _pick_pad_band(h, w)
+    return (radius + hq - h) <= h - 1
+
+
 def bilateral_planar_best(img, d: int = 9, sigma_color: float = 75.0, sigma_space: float = 75.0):
-    """Pallas kernel on TPU, XLA fallback elsewhere."""
+    """Pallas kernel on TPU (when the shape supports it), XLA fallback."""
     from chessboard_vision_tpu.ops.enhance import bilateral_planar
 
-    if jax.default_backend() == "tpu":
+    C, H, W = img.shape
+    if jax.default_backend() == "tpu" and pallas_supported(H, W, d):
         return bilateral_planar_pallas(img, d, sigma_color, sigma_space)
     return bilateral_planar(img, d, sigma_color, sigma_space)

@@ -90,8 +90,16 @@ class MultiStreamPipeline:
                 self._stream_plans.append(mr.build_plan(qx, qy, g.src_h, g.src_w))
             # All plans produce (64, Qr, Qc) samples of the shared grid
             # structure; each carries its own static dims (band/region).
+            # The multi-MB plan ARRAYS ride as jit arguments (the
+            # StepConsts rule — closure literals multiply compile time and
+            # bloat every derived program); only the static dims shape the
+            # program from the closure.
+            self._plan_arrays = tuple(p for p, _ in self._stream_plans)
+            self._plan_dims = tuple(d for _, d in self._stream_plans)
         else:
             self._stream_plans = None
+            self._plan_arrays = ()
+            self._plan_dims = ()
 
         def one_stream(state: MultiStreamState, frame, s2c_mask, s2c_given, refresh, consts):
             pipe_state, out = self.pipe._step_impl(
@@ -107,57 +115,51 @@ class MultiStreamPipeline:
             noise_state, noise_out = fsm_ops.noise_step(state.noise, out.visual_changes)
             return MultiStreamState(pipe_state, noise_state), MultiStreamOutputs(out, noise_out)
 
-        def tick(state, frames, s2c_mask, s2c_given, refresh, consts, plans):
+        def step_fn(state, frames, s2c_mask, s2c_given, refresh, consts, plan_arrays):
             """One tick for all N streams; geometry handled per stream."""
-            if plans is None:
+            if self._stream_plans is None:
                 return jax.vmap(one_stream, in_axes=(0, 0, 0, 0, 0, None))(
                     state, frames, s2c_mask, s2c_given, refresh, consts
                 )
-            gray = self._extract_squares_per_stream(frames, plans)
+            gray = self._extract_squares_per_stream(frames, plan_arrays)
             return jax.vmap(one_core, in_axes=(0, 0, 0, 0, 0, None))(
                 state, gray, s2c_mask, s2c_given, refresh, consts
             )
 
-        # Device constants enter as (replicated) arguments, not closure
-        # literals — see models/pipeline.StepConsts. The per-stream plans
-        # ARE closure state of the jitted callables (their static region
-        # offsets shape the program), so one program per geometry set.
-        def step_fn(state, frames, s2c_mask, s2c_given, refresh, consts):
-            return tick(state, frames, s2c_mask, s2c_given, refresh, consts,
-                        self._stream_plans)
-
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
-        def chunk(state, frames, s2c_mask, s2c_given, refresh, consts):
+        def chunk(state, frames, s2c_mask, s2c_given, refresh, consts, plan_arrays):
             # lax.scan over T ticks of the vmapped step: one dispatch + one
             # small D2H per T x N frames (the same per-dispatch overhead
             # amortization as VisionPipeline.step_many, applied to the
             # batched configuration).
             def body(st, xs):
                 fr, m, g, r = xs
-                st, out = step_fn(st, fr, m, g, r, consts)
+                st, out = step_fn(st, fr, m, g, r, consts, plan_arrays)
                 return st, out
 
             return jax.lax.scan(body, state, (frames, s2c_mask, s2c_given, refresh))
 
         self._step_chunk = jax.jit(chunk, donate_argnums=(0,))
 
-        def capture_fn(state, frames, consts):
+        def capture_fn(state, frames, consts, plan_arrays):
             if self._stream_plans is None:
                 return jax.vmap(
                     lambda st, fr, c: self.pipe._capture_impl(st, fr, c),
                     in_axes=(0, 0, None),
                 )(state, frames, consts)
-            gray = self._extract_squares_per_stream(frames, self._stream_plans)
+            gray = self._extract_squares_per_stream(frames, plan_arrays)
             return jax.vmap(self.pipe._capture_core)(state, gray)
 
         self._capture = jax.jit(capture_fn)
 
-    def _extract_squares_per_stream(self, frames, plans):
+    def _extract_squares_per_stream(self, frames, plan_arrays):
         """(N, 3, Hf, Wf) planar frames -> (N, 64, H, W) preprocessed gray,
         each stream resampled with ITS static plan (static slices stay
         static — a vmapped dynamic variant would lower to TPU's serializing
-        gathers), then one batched Gaussian over all streams."""
+        gathers), then one batched Gaussian over all streams. plan_arrays
+        are traced jit arguments; the matching static dims come from
+        self._plan_dims."""
         from chessboard_vision_tpu.ops import matmul_resample as mr
         from chessboard_vision_tpu.ops.color import planar_bgr2gray
         from chessboard_vision_tpu.ops.filters import gaussian_blur_valid
@@ -165,7 +167,7 @@ class MultiStreamPipeline:
         gray_frames = planar_bgr2gray(frames)  # (N, Hf, Wf)
         squares = jnp.stack([
             mr.resample_gray_u8(gray_frames[i], plan, dims)
-            for i, (plan, dims) in enumerate(plans)
+            for i, (plan, dims) in enumerate(zip(plan_arrays, self._plan_dims))
         ])  # (N, 64, H+4, W+4)
         return gaussian_blur_valid(squares, 5)
 
@@ -204,7 +206,9 @@ class MultiStreamPipeline:
         return self._place(jnp.asarray(frames))
 
     def capture_reference(self, state: MultiStreamState, frames) -> MultiStreamState:
-        pipe = self._capture(state.pipe, self._prep_frames(frames), self.pipe._consts)
+        pipe = self._capture(
+            state.pipe, self._prep_frames(frames), self.pipe._consts, self._plan_arrays
+        )
         return MultiStreamState(pipe=pipe, noise=state.noise)
 
     def _place(self, arr):
@@ -234,7 +238,10 @@ class MultiStreamPipeline:
             refresh = jnp.zeros((n,), bool)
         else:
             refresh = jnp.asarray(refresh)
-        return self._step(state, frames, s2c_mask, s2c_given, refresh, self.pipe._consts)
+        return self._step(
+            state, frames, s2c_mask, s2c_given, refresh, self.pipe._consts,
+            self._plan_arrays,
+        )
 
     def step_chunk(self, state: MultiStreamState, frames):
         """T ticks for all N streams in ONE device dispatch.
@@ -242,6 +249,19 @@ class MultiStreamPipeline:
         frames: (T, N, 3, H, W) planar u8 (or (T, N, H, W, 3) HWC host
         array). Outputs have leading (T, N) axes. Tick semantics are
         scan-exact vs T sequential step() calls."""
+        if (
+            self._stream_plans is not None
+            and isinstance(frames, np.ndarray)
+            and frames.ndim == 5
+            and frames.shape[-1] == 3
+        ):
+            # per-stream-geometry extraction is planar-only (same
+            # conversion step()/_prep_frames applies per tick)
+            from chessboard_vision_tpu.ops import static_resample as sr
+
+            frames = np.stack(
+                [np.stack([sr.to_planar(f) for f in tick]) for tick in frames]
+            )
         frames = jnp.asarray(frames)
         t, n = frames.shape[0], self.n_streams
         if self.mesh is not None:
@@ -254,5 +274,6 @@ class MultiStreamPipeline:
         givens = jnp.zeros((t, n), bool)
         refreshes = jnp.zeros((t, n), bool)
         return self._step_chunk(
-            state, frames, masks, givens, refreshes, self.pipe._consts
+            state, frames, masks, givens, refreshes, self.pipe._consts,
+            self._plan_arrays,
         )

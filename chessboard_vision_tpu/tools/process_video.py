@@ -60,7 +60,9 @@ def run(
     if session is None:
         session = GameSession(headless=True)
         session.MOVE_COOLDOWN = 0.0  # wall-clock gating is meaningless offline
-    assert session.on_calibration_requested(None, config=config)
+    if not session.on_calibration_requested(None, config=config):
+        cap.release()
+        raise ValueError("calibration config rejected (missing corners?)")
 
     # Reference capture from the first frames (reference
     # game_session.capture_reference does 10 warmup reads on live cameras;
