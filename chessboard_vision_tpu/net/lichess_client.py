@@ -152,9 +152,12 @@ class LichessClient:
     def stream_game_with_reconnect(
         self, game_id: str, stop_check=None, max_retries: int = 5, backoff: float = 2.0
     ) -> Generator[dict, None, None]:
-        """stream_game wrapped in a bounded reconnect loop."""
+        """stream_game wrapped in a bounded reconnect loop: up to
+        max_retries consecutive dead attempts actually reconnect (any
+        received event resets the budget), and there is no parting sleep
+        once the budget is spent."""
         retries = 0
-        while retries <= max_retries:
+        while True:
             got_event = False
             for event in self.stream_game(game_id):
                 got_event = True
@@ -164,13 +167,15 @@ class LichessClient:
                     return
             if stop_check and stop_check():
                 return
-            retries += 1
+            if not got_event:
+                retries += 1
             if retries > max_retries:
+                self.log.info(
+                    "stream dead after %d reconnects; giving up", max_retries
+                )
                 return
             self.log.info("stream ended; reconnect %d/%d", retries, max_retries)
             time.sleep(backoff * retries)
-            if not got_event and retries >= max_retries:
-                return
 
     def _set_my_color(self, event: dict):
         my_id = (self.username or "").lower()
@@ -290,21 +295,55 @@ class LichessClient:
         moves = moves_str.split() if moves_str else []
         return moves[-1] if moves else None
 
-    def seek_game(self, time_minutes: int = 10, increment: int = 0, rated: bool = False):
+    def seek_game(
+        self,
+        time_minutes: int = 10,
+        increment: int = 0,
+        rated: bool = False,
+        poll_interval: float = 2.0,
+        timeout_s: float = 120.0,
+    ) -> Optional[str]:
+        """Create a public seek and wait for it to be accepted.
+
+        The Board API seek stream carries no data — it is keep-alive only,
+        and the seek stays active exactly while the connection is open. So
+        the match is detected by polling /api/account/playing for a game
+        that wasn't there before; closing the stream afterwards is safe
+        (a matched seek already created the game). Returns the new game id
+        or None on timeout/error (closing then cancels the seek).
+        """
+        before = {g.get("gameId", g.get("id")) for g in self.get_ongoing_games()}
         try:
             resp = requests.post(
                 f"{self.BASE_URL}/api/board/seek",
                 headers={**self._headers, "Accept": "application/x-ndjson"},
-                data={"time": time_minutes, "increment": increment, "rated": rated},
+                # lila's form binder wants lowercase literals, not Python
+                # bool reprs ('True' would silently read as unrated)
+                data={
+                    "time": time_minutes,
+                    "increment": increment,
+                    "rated": "true" if rated else "false",
+                },
                 stream=True,
-                timeout=30,
+                timeout=(10, timeout_s),
             )
-            for line in resp.iter_lines():
-                if line:
-                    event = json.loads(line.decode("utf-8"))
-                    if "id" in event:
-                        return event["id"]
+            if resp.status_code != 200:
+                self.log.warning("seek rejected: %s %s", resp.status_code, resp.text)
+                return None
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                time.sleep(poll_interval)
+                for g in self.get_ongoing_games():
+                    gid = g.get("gameId", g.get("id"))
+                    if gid and gid not in before:
+                        return gid
+            self.log.info("seek timed out after %.0f s", timeout_s)
             return None
         except (requests.RequestException, json.JSONDecodeError) as e:
             self.log.warning("seek error: %s", e)
             return None
+        finally:
+            try:
+                resp.close()
+            except (NameError, AttributeError):
+                pass

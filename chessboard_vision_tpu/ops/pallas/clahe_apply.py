@@ -47,6 +47,17 @@ def _pick_band(wpad: int) -> int:
     return max(8, min(32, b))
 
 
+def _pick_band_hist(wpad: int) -> int:
+    """Hist band: larger than the apply band (its loop body is just the
+    one-hot + membership writes, no per-row blend unroll) — measured at
+    984²: 0.518 ms @ band 8, 0.477 @ 16, 0.452 @ 32. Capped at 16: the
+    band-32 unroll pushed the enhanced chunk-scan compile past 10 min on
+    this environment's remote compiler for a 0.025 ms gain."""
+    budget = 12 * 1024 * 1024
+    b = (budget // (256 * wpad * 2)) // 8 * 8
+    return max(8, min(16, b))
+
+
 @partial(jax.jit, static_argnames=("th", "tw", "tiles"))
 def clahe_hist_pallas(
     pad_img: jnp.ndarray, th: int, tw: int, tiles: int
@@ -66,7 +77,7 @@ def clahe_hist_pallas(
     Hp, Wp = pad_img.shape
     n_tiles = tiles * tiles
     Wq = ((Wp + 127) // 128) * 128
-    band = _pick_band(Wq)
+    band = _pick_band_hist(Wq)
     Hq = ((Hp + band - 1) // band) * band
     x_pad = jnp.pad(pad_img, ((0, Hq - Hp), (0, Wq - Wp)), constant_values=255)
     grid = Hq // band

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from typing import Set, Tuple
 
-import numpy as np
 
 from chessboard_vision_tpu.rules import chess
 

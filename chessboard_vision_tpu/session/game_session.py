@@ -220,7 +220,18 @@ class GameSession:
         self._refresh_next = True
 
     def _infer_move(self, diff_missing, diff_extra, vision_occupied):
-        """Infer one legal move from occupancy diffs (game_session.py:227-265)."""
+        """Infer one legal move from occupancy diffs (game_session.py:227-265).
+
+        Deviation from the reference (documented fix): castling is
+        resolved FIRST via the exact 2-vanished/2-appeared pattern
+        (GameState._detect_castling). The reference's pair matching finds
+        4 legal candidates for a castling diff (Ke1g1/Ke1f1/Rh1f1/Rh1g1
+        are all legal exactly when O-O is) and rejects it as ambiguous —
+        the reference can never commit a castling move from vision."""
+        if len(diff_missing) == 2 and len(diff_extra) == 2:
+            castle = self.game._detect_castling(set(diff_missing), set(diff_extra))
+            if castle is not None and castle in self.game.board.legal_moves:
+                return castle
         possible = []
         for orig in diff_missing:
             orig_sq = chess.square(orig[0], orig[1])
@@ -254,21 +265,25 @@ class GameSession:
     # -- UI ---------------------------------------------------------------
 
     def _update_radar_ui(self, vision_occupied):
-        expected = self.game.get_board_occupancy()
-        lifted = expected - vision_occupied
-        self.lifted_piece_square = None
-        self.current_radar_destinations = []
-        if len(lifted) == 1:
-            pos = next(iter(lifted))
-            sq = chess.square(pos[0], pos[1])
-            piece = self.game.board.piece_at(sq)
-            if piece and piece.color == self.game.board.turn:
-                self.lifted_piece_square = pos
-                for move in self.game.board.legal_moves:
-                    if move.from_square == sq:
-                        self.current_radar_destinations.append(
-                            (chess.square_file(move.to_square), chess.square_rank(move.to_square))
-                        )
+        # board_lock: legal-move generation mutates the shared board via
+        # make/unmake, racing the Lichess stream thread's _sync_moves
+        # (every other board reader here takes the lock too).
+        with self.board_lock:
+            expected = self.game.get_board_occupancy()
+            lifted = expected - vision_occupied
+            self.lifted_piece_square = None
+            self.current_radar_destinations = []
+            if len(lifted) == 1:
+                pos = next(iter(lifted))
+                sq = chess.square(pos[0], pos[1])
+                piece = self.game.board.piece_at(sq)
+                if piece and piece.color == self.game.board.turn:
+                    self.lifted_piece_square = pos
+                    for move in self.game.board.legal_moves:
+                        if move.from_square == sq:
+                            self.current_radar_destinations.append(
+                                (chess.square_file(move.to_square), chess.square_rank(move.to_square))
+                            )
 
     def _draw_interface(self, img_raw, noise_state):
         """cv2 overlay rendering (host-side; optional)."""

@@ -30,6 +30,7 @@ class LichessSession(GameSession):
         # host app opts in; surface the clock for the HUD.
         self.auto_decline_draws = True
         self.draw_offered_by_opponent = False
+        self._initial_fen = None  # gameFull initialFen for from-position games
 
     def connect_and_setup(self, interactive: bool = True) -> bool:
         self.log.info("connecting to Lichess...")
@@ -80,7 +81,21 @@ class LichessSession(GameSession):
             etype = event.get("type")
             if etype == "gameFull":
                 self.my_color = self.lichess.my_color
-                self._sync_moves(event.get("state", {}).get("moves", ""))
+                # Games created "From Position" replay from their own
+                # start FEN, not the standard one.
+                fen0 = event.get("initialFen")
+                if fen0 and fen0 != "startpos":
+                    self._initial_fen = fen0
+                state = event.get("state", {})
+                status = state.get("status")
+                if status and status != "started":
+                    # Joined an already-finished game: no further
+                    # gameState will arrive to end the session.
+                    self.log.info("game already finished: %s", status)
+                    self._sync_moves(state.get("moves", ""))
+                    self.stop_event.set()
+                    continue
+                self._sync_moves(state.get("moves", ""))
             elif etype == "gameState":
                 status = event.get("status")
                 if status != "started":
@@ -121,19 +136,34 @@ class LichessSession(GameSession):
         )
 
     def _sync_moves(self, moves_str: str):
-        """Replay the authoritative server move list (double-checked lock)."""
+        """Replay the authoritative server move list (double-checked lock).
+
+        Replays from the game's initial FEN (set by gameFull for
+        from-position games). A move that fails to apply is a real
+        desync — logged loudly and the sync is NOT marked complete, so
+        the next event retries instead of silently playing on a wrong
+        board."""
         if moves_str == self.last_lichess_moves:
             return
         with self.board_lock:
             if moves_str == self.last_lichess_moves:
                 return
-            self.game.reset()
+            initial = getattr(self, "_initial_fen", None)
+            if initial:
+                self.game.set_fen(initial)
+            else:
+                self.game.reset()
             if moves_str:
                 for uci in moves_str.split():
                     try:
                         self.game.board.push_uci(uci)
                     except ValueError:
-                        pass
+                        self.log.error(
+                            "CRITICAL: server move %r does not apply to the "
+                            "local board (%s) — sync aborted, will retry",
+                            uci, self.game.get_fen(),
+                        )
+                        return
             self.last_lichess_moves = moves_str
             is_my_turn = self.lichess.is_my_turn(moves_str)
             self.waiting_for_opponent = not is_my_turn

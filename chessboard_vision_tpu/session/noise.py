@@ -86,6 +86,10 @@ class NoiseHandler:
                 self.state = NoiseState.MOVE_PENDING
                 self.pending_squares = set(changed)
                 self.stable_count = 1
+                # refresh the lifted square for THIS pending cycle (a
+                # stale one from a previous cycle would otherwise leak
+                # into the counting payloads)
+                self.last_lifted_square = next(iter(changed)) if n == 1 else None
                 return (
                     NoiseState.MOVE_PENDING,
                     {"message": "detecting", "squares": self.pending_squares, "stable": False},

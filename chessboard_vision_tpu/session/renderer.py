@@ -102,11 +102,14 @@ def draw_board_overlay(
             cv2.rectangle(overlay, (x1, y1), (x1 + sq, y1 + sq), (0, 0, 200), -1)
             cv2.addWeighted(overlay, 0.4, vis, 0.6, 0, vis)
 
-        for dest in radar:
-            col, row = _sq_to_cell(*dest)
-            cx, cy = col * sq + sq // 2, row * sq + sq // 2
+        if radar:
+            # one overlay + one blend for ALL destinations (a per-circle
+            # full-frame copy+blend cost ~20x this on a lifted queen)
             overlay = vis.copy()
-            cv2.circle(overlay, (cx, cy), int(sq * 0.2), (0, 100, 0), -1)
+            for dest in radar:
+                col, row = _sq_to_cell(*dest)
+                cx, cy = col * sq + sq // 2, row * sq + sq // 2
+                cv2.circle(overlay, (cx, cy), int(sq * 0.2), (0, 100, 0), -1)
             cv2.addWeighted(overlay, 0.6, vis, 0.4, 0, vis)
 
         # Piece glyphs

@@ -130,13 +130,31 @@ class TestStream:
 
 
 class TestSeek:
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.time.sleep")
     @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
-    def test_seek_returns_game_id(self, post):
-        resp = mock.MagicMock()
-        resp.iter_lines.return_value = [json.dumps({"id": "g123"}).encode()]
-        post.return_value = resp
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
+    def test_seek_matches_via_ongoing_games_poll(self, get, post, _sleep):
+        """The Board API seek stream is keep-alive only; the match is
+        detected by polling /api/account/playing for a NEW game id
+        (see test_session_fixes.TestSeek for rated-flag encoding)."""
+        post.return_value = mock.MagicMock(status_code=200)
+        lists = [[{"gameId": "old"}], [{"gameId": "old"}, {"gameId": "g123"}]]
+        get.side_effect = [
+            mock.MagicMock(status_code=200, json=lambda g=g: {"nowPlaying": g})
+            for g in lists
+        ]
         c = make_client()
         assert c.seek_game() == "g123"
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
+    def test_seek_rejected_returns_none(self, get, post):
+        get.return_value = mock.MagicMock(
+            status_code=200, json=lambda: {"nowPlaying": []}
+        )
+        post.return_value = mock.MagicMock(status_code=429, text="rate limited")
+        c = make_client()
+        assert c.seek_game() is None
 
 
 class TestBoardApiExtras:

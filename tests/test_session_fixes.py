@@ -1,0 +1,150 @@
+"""Session/net behavior fixes from the round-2 deep review.
+
+Covers: castling inference (the reference's pair matching finds 4 legal
+candidates for a castling diff and can never commit one — fixed via the
+exact 2v/2a pattern), from-position sync, sync abort on bad server moves,
+finished-at-join detection, dead-stream reconnect budget, seek semantics,
+and the noise FSM's lifted-square refresh.
+"""
+
+import json
+import logging
+from unittest import mock
+
+import pytest
+
+from chessboard_vision_tpu.rules import chess
+from chessboard_vision_tpu.rules.game_state import GameState
+from chessboard_vision_tpu.session.game_session import GameSession
+from chessboard_vision_tpu.session.lichess_session import LichessSession
+from chessboard_vision_tpu.session.noise import NoiseHandler, NoiseState
+from chessboard_vision_tpu.net.lichess_client import LichessClient
+
+
+def _bare_session():
+    s = GameSession.__new__(GameSession)
+    s.game = GameState()
+    s.log = logging.getLogger("test")
+    return s
+
+
+class TestCastlingInference:
+    def _ready_to_castle(self):
+        s = _bare_session()
+        s.game.set_fen("r1bqkbnr/pppp1ppp/2n5/4p3/4P3/5N1B/PPPPQPPP/RNB1K2R w KQkq - 0 1")
+        return s
+
+    def test_kingside_castle_inferred(self):
+        s = self._ready_to_castle()
+        move = s._infer_move({(4, 0), (7, 0)}, {(6, 0), (5, 0)}, set())
+        assert move is not None and move.uci() == "e1g1"
+
+    def test_non_castling_2v2a_still_ambiguous_or_none(self):
+        s = self._ready_to_castle()
+        # arbitrary 2v/2a diff that is NOT the castling pattern
+        move = s._infer_move({(0, 1), (1, 1)}, {(0, 2), (1, 2)}, set())
+        assert move is None  # two independent pawn pushes: ambiguous
+
+    def test_queenside_castle_inferred(self):
+        s = _bare_session()
+        s.game.set_fen("r3kbnr/pppqpppp/2npb3/8/8/2NPB3/PPPQPPPP/R3KBNR w KQkq - 0 1")
+        move = s._infer_move({(4, 0), (0, 0)}, {(2, 0), (3, 0)}, set())
+        assert move is not None and move.uci() == "e1c1"
+
+
+def _bare_lichess_session():
+    s = LichessSession.__new__(LichessSession)
+    s.game = GameState()
+    s.log = logging.getLogger("test")
+    s.last_lichess_moves = ""
+    s._initial_fen = None
+    s.lichess = mock.MagicMock()
+    s.lichess.is_my_turn.return_value = True
+    import threading
+
+    s.board_lock = threading.RLock()
+    s.waiting_for_opponent = False
+    return s
+
+
+class TestSyncMoves:
+    def test_sync_from_initial_fen(self):
+        s = _bare_lichess_session()
+        s._initial_fen = "4k3/8/8/8/8/8/4P3/4K3 w - - 0 1"
+        s._sync_moves("e2e4")
+        assert s.game.get_fen().split()[0] == "4k3/8/8/8/4P3/8/8/4K3"
+        assert s.last_lichess_moves == "e2e4"
+
+    def test_bad_server_move_aborts_sync(self):
+        s = _bare_lichess_session()
+        s._sync_moves("e2e5")  # illegal from the start position
+        # NOT marked synced: the next event retries instead of silently
+        # playing on a desynced board
+        assert s.last_lichess_moves == ""
+
+    def test_finished_at_join_sets_stop(self):
+        s = _bare_lichess_session()
+        import threading
+
+        s.stop_event = threading.Event()
+        s.my_color = None
+
+        events = [{
+            "type": "gameFull",
+            "state": {"moves": "e2e4 e7e5", "status": "mate"},
+        }]
+        s.lichess.stream_game_with_reconnect.return_value = iter(events)
+        s.lichess.my_color = "white"
+        s.game_id = "g"
+        s._stream_task()
+        assert s.stop_event.is_set()
+        assert s.last_lichess_moves == "e2e4 e7e5"
+
+
+class TestReconnectBudget:
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.time.sleep")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
+    def test_dead_stream_reconnects_max_retries_times(self, get, sleep):
+        resp = mock.MagicMock(status_code=200)
+        resp.iter_lines.return_value = []  # dead: no events ever
+        get.return_value = resp
+        c = LichessClient(token="t")
+        got = list(c.stream_game_with_reconnect("gid", max_retries=3))
+        assert got == []
+        # initial attempt + 3 reconnects = 4 stream attempts
+        assert get.call_count == 4
+        # no parting sleep after the budget is spent
+        assert sleep.call_count == 3
+
+
+class TestSeek:
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.time.sleep")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
+    def test_seek_polls_for_new_game(self, get, post, _sleep):
+        post.return_value = mock.MagicMock(status_code=200)
+        ongoing = [[], [{"gameId": "new1"}]]  # before seek, after match
+        get.side_effect = [
+            mock.MagicMock(status_code=200, json=lambda g=g: {"nowPlaying": g})
+            for g in ongoing
+        ]
+        c = LichessClient(token="t")
+        gid = c.seek_game(rated=True)
+        assert gid == "new1"
+        # lowercase literal, not Python bool repr
+        assert post.call_args.kwargs["data"]["rated"] == "true"
+
+
+class TestNoiseLiftedRefresh:
+    def test_lifted_refreshes_on_noise_to_pending(self):
+        h = NoiseHandler()
+        # enter MOVE_PENDING once with square A, commit-reset, then a
+        # noise burst clears into a NEW pending cycle with square B
+        h.process({(0, 0)})
+        assert h.last_lifted_square == (0, 0)
+        h.process({(1, 1), (2, 2), (3, 3), (4, 4), (5, 5)})  # noise
+        assert h.state == NoiseState.NOISE_ACTIVE
+        for _ in range(NoiseHandler.COOLDOWN_FRAMES):
+            state, data = h.process({(7, 7)})
+        assert h.state == NoiseState.MOVE_PENDING
+        assert h.last_lifted_square == (7, 7)
