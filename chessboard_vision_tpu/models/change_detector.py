@@ -18,12 +18,9 @@ from chessboard_vision_tpu.ops import change as change_ops
 SquareTuple = Tuple[int, int]
 
 
-def _mask_from_positions(positions: Iterable[SquareTuple]) -> np.ndarray:
-    m = np.zeros(64, bool)
-    for f, r in positions:
-        if 0 <= f < 8 and 0 <= r < 8:
-            m[r * 8 + f] = True
-    return m
+from chessboard_vision_tpu.ops.layout import (  # noqa: E402
+    positions_to_mask as _mask_from_positions,
+)
 
 
 class ChangeDetectorModel:

@@ -79,20 +79,16 @@ def bilateral(planar: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     a backend. Both produce identical outputs (parity:
     tests/test_pallas_bilateral.py on TPU)."""
     if backend == "auto":
-        from chessboard_vision_tpu.ops.pallas.bilateral import pallas_supported
+        # ONE auto-dispatch decision point for the whole package
+        # (ops/pallas/bilateral.bilateral_planar_best: TPU + shape check).
+        from chessboard_vision_tpu.ops.pallas.bilateral import bilateral_planar_best
 
-        use_pallas = jax.default_backend() == "tpu" and pallas_supported(
-            planar.shape[-2], planar.shape[-1]
-        )
-    elif backend == "pallas":
-        use_pallas = True
-    elif backend == "xla":
-        use_pallas = False
-    else:
-        raise ValueError(f"unknown bilateral backend {backend!r}")
-    if use_pallas:
+        return bilateral_planar_best(planar, 9, 75.0, 75.0)
+    if backend == "pallas":
         return bilateral_planar_pallas(planar, 9, 75.0, 75.0)
-    return enh_ops.bilateral_planar(planar, 9, 75.0, 75.0)
+    if backend == "xla":
+        return enh_ops.bilateral_planar(planar, 9, 75.0, 75.0)
+    raise ValueError(f"unknown bilateral backend {backend!r}")
 
 
 def enhance_planar(

@@ -229,11 +229,9 @@ class PieceDetectorModel:
             s2c_mask = jnp.zeros((64,), bool)
             s2c_given = jnp.asarray(False)
         else:
-            m = np.zeros(64, bool)
-            for f, r in squares_to_check:
-                if 0 <= f < 8 and 0 <= r < 8:
-                    m[r * 8 + f] = True
-            s2c_mask = jnp.asarray(m)
+            from chessboard_vision_tpu.ops.layout import positions_to_mask
+
+            s2c_mask = jnp.asarray(positions_to_mask(squares_to_check))
             s2c_given = jnp.asarray(True)
         self.state, out = detect_all(
             self.state,

@@ -32,6 +32,7 @@ from chessboard_vision_tpu.ops.color import bgr2gray, planar_bgr2gray
 from chessboard_vision_tpu.ops.filters import gaussian_blur_valid
 from chessboard_vision_tpu.ops import static_resample as sr
 from chessboard_vision_tpu.ops import matmul_resample as mr
+from chessboard_vision_tpu.ops.layout import positions_to_mask  # noqa: F401  (re-export)
 from chessboard_vision_tpu.models import piece_detector as pd_model
 from chessboard_vision_tpu.models.enhancer import enhance_planar
 
@@ -457,11 +458,7 @@ class VisionPipeline:
             s2c_mask = self._zero_mask64
             s2c_given = self._false
         else:
-            m = np.zeros(64, bool)
-            for f, r in squares_to_check:
-                if 0 <= f < 8 and 0 <= r < 8:
-                    m[r * 8 + f] = True
-            s2c_mask = jnp.asarray(m)
+            s2c_mask = jnp.asarray(positions_to_mask(squares_to_check))
             s2c_given = self._true
         return self._step(
             state,
@@ -521,9 +518,3 @@ def occupancy_to_set(occ) -> set:
     return {(sq % 8, sq // 8) for sq in range(64) if occ[sq]}
 
 
-def positions_to_mask(positions) -> np.ndarray:
-    m = np.zeros(64, bool)
-    for f, r in positions:
-        if 0 <= f < 8 and 0 <= r < 8:
-            m[r * 8 + f] = True
-    return m

@@ -105,8 +105,12 @@ def detect(
     counts: (64,) i32 true pixel counts.
     """
     g = gray.astype(jnp.float32)
-    std = jnp.sqrt(state.variances)
-    z = jnp.abs(g - state.means) / std
+    # Uncalibrated model (init_state zeros) -> no detections, like the
+    # reference's "if not self.reference_images: return {}" guard
+    # (change_detector.py:105-110); without it z = |g|/0 is inf/NaN and
+    # every square reports a phantom TOTAL change.
+    std = jnp.sqrt(jnp.maximum(state.variances, jnp.float32(1e-12)))
+    z = jnp.where(state.calibrated, jnp.abs(g - state.means) / std, 0.0)
     changed = (z > jnp.float32(z_threshold)) & valid_mask
     ccount = jnp.sum(changed, axis=(-2, -1)).astype(jnp.int32)
     total = counts.astype(jnp.int32)

@@ -47,27 +47,32 @@ def planar_bgr2gray(planar: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 _HSV_SHIFT = 12
-_idx = np.arange(1, 256)
-_SDIV = np.zeros(256, np.int32)
-_SDIV[1:] = np.round((255 << _HSV_SHIFT) / _idx).astype(np.int32)
-_HDIV = np.zeros(256, np.int32)
-_HDIV[1:] = np.round((180 << _HSV_SHIFT) / (6.0 * _idx)).astype(np.int32)
-del _idx
+
+
+def _round_div(num: int, den: jnp.ndarray) -> jnp.ndarray:
+    """round(num / den) for positive i32 den, 0 where den == 0 — exact
+    integer form of cv2's sdiv/hdiv tables WITHOUT a per-pixel gather
+    (TPU serializes gathers; this stays elementwise). No .5 ties exist
+    for these numerators (2*num has only 2^k*3*5*17 factors; a den <= 255
+    can never make the doubled quotient odd), so floor((2n + d)/(2d))
+    equals the tables' np.round exactly."""
+    d = jnp.maximum(den, 1)
+    return jnp.where(den > 0, (2 * num + d) // (2 * d), 0)
 
 
 def bgr2hsv(bgr: jnp.ndarray) -> jnp.ndarray:
-    """Exact cv2.COLOR_BGR2HSV for u8 images."""
+    """Exact cv2.COLOR_BGR2HSV for u8 images (gather-free fixed point)."""
     x = bgr.astype(jnp.int32)
     b, g, r = x[..., 0], x[..., 1], x[..., 2]
     v = jnp.maximum(jnp.maximum(b, g), r)
     vmin = jnp.minimum(jnp.minimum(b, g), r)
     diff = v - vmin
-    sdiv = jnp.asarray(_SDIV)[v]
+    sdiv = _round_div(255 << _HSV_SHIFT, v)
     s = (diff * sdiv + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
     vr = v == r
     vg = jnp.logical_and(~vr, v == g)
     h0 = jnp.where(vr, g - b, jnp.where(vg, b - r + 2 * diff, r - g + 4 * diff))
-    hdiv = jnp.asarray(_HDIV)[diff]
+    hdiv = _round_div((180 << _HSV_SHIFT) // 6, diff)
     h = (h0 * hdiv + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
     h = jnp.where(h < 0, h + 180, h)
     return jnp.stack([h, s, v], axis=-1).astype(jnp.uint8)
@@ -80,18 +85,28 @@ _HSV_SECTOR = np.array(
 
 
 def hsv2bgr(hsv: jnp.ndarray) -> jnp.ndarray:
-    """cv2.COLOR_HSV2BGR for u8 (float path; parity within 1 level)."""
+    """cv2.COLOR_HSV2BGR for u8 (float path; parity within 1 level).
+
+    The sector lookup runs as compare-selects (18 elementwise wheres),
+    not a per-pixel gather — gathers serialize on TPU and this sits on
+    the per-frame path whenever a color profile is active."""
     h = hsv[..., 0].astype(jnp.float32) * jnp.float32(6.0 / 180.0)
     s = hsv[..., 1].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     v = hsv[..., 2].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     sector = jnp.floor(h)
     frac = h - sector
     sector = jnp.mod(sector.astype(jnp.int32), 6)
-    tab = jnp.stack(
-        [v, v * (1 - s), v * (1 - s * frac), v * (1 - s * (1 - frac))], axis=-1
+    tab = (v, v * (1 - s), v * (1 - s * frac), v * (1 - s * (1 - frac)))
+
+    def chan(idx_of_sector):
+        out = jnp.zeros_like(v)
+        for sec in range(6):
+            out = jnp.where(sector == sec, tab[idx_of_sector[sec]], out)
+        return out
+
+    bgr = jnp.stack(
+        [chan(_HSV_SECTOR[:, c]) for c in range(3)], axis=-1
     )
-    sel = jnp.asarray(_HSV_SECTOR)[sector]  # (..., 3) indices into tab
-    bgr = jnp.take_along_axis(tab, sel, axis=-1)
     return jnp.clip(jnp.round(bgr * 255.0), 0, 255).astype(jnp.uint8)
 
 

@@ -154,12 +154,16 @@ def sharpen(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize_minmax(x: jnp.ndarray, alpha: float = 0.0, beta: float = 255.0) -> jnp.ndarray:
-    """Exact cv2.normalize(..., NORM_MINMAX) on u8 (joint min/max over all)."""
+    """Exact cv2.normalize(..., NORM_MINMAX) on u8 (joint min/max over all).
+
+    Constant images (mx == mn) produce all-alpha, matching cv2's
+    saturate_cast of the 0*inf NaN to 0 — the naive scale formula would
+    propagate NaN into the u8 cast (undefined on TPU)."""
     xf = x.astype(jnp.float32)
     mn = jnp.min(xf)
     mx = jnp.max(xf)
     scale = (beta - alpha) / jnp.maximum(mx - mn, 1e-38)
-    out = (xf - mn) * scale + alpha
+    out = jnp.where(mx > mn, (xf - mn) * scale + alpha, jnp.float32(alpha))
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 

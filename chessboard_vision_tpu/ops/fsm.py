@@ -118,11 +118,15 @@ def noise_step(state: NoiseFsmState, changed: jnp.ndarray):
     # move_ready reports the pre-reset pending set
     out_squares = jnp.where(move_ready, state.pending, out_squares)
 
+    # noise_to_pending refreshes the lifted square for the NEW pending
+    # cycle, matching the host FSM (session/noise.py _noise: a stale
+    # lifted from a previous cycle must not leak into counting payloads).
+    enter_or_update = idle_to_pending | noise_to_pending | pend_update
     next_lifted = jnp.where(
-        (idle_to_pending | pend_update) & (n == 1),
+        enter_or_update & (n == 1),
         lifted_new,
         jnp.where(
-            (idle_to_pending | pend_update) & (n != 1),
+            enter_or_update & (n != 1),
             -1,
             jnp.where(move_ready, -1, state.lifted),
         ),

@@ -94,9 +94,10 @@ class PieceDetections(NamedTuple):
     symmetry: jnp.ndarray  # (64,) f32
 
 
-def _masked_mean(x, mask, counts):
-    s = jnp.sum(x.astype(jnp.float32) * mask, axis=(-2, -1))
-    return s / counts.astype(jnp.float32)
+# Shared with the pipeline's center/corner outputs: inside one jit XLA
+# CSEs the identical reductions, so the pipeline re-stating them for
+# StepOutputs costs nothing — but the helper lives in ONE place.
+from chessboard_vision_tpu.ops.warp import masked_mean as _masked_mean  # noqa: E402
 
 
 def detect_pieces(

@@ -17,11 +17,19 @@ def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
     # one-hot compare+reduce histogram (TPU serializes scatter-adds)
     flat = x.reshape(-1).astype(jnp.int32)
     bins = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
-    hist = jnp.sum((flat[:, None] == bins).astype(jnp.float32), axis=0)
-    levels = jnp.arange(256, dtype=jnp.float32)
-    n = jnp.sum(hist)
-    q1 = jnp.cumsum(hist)  # counts <= t
-    s1 = jnp.cumsum(hist * levels)
+    hist_i = jnp.sum((flat[:, None] == bins).astype(jnp.int32), axis=0)
+    # Moments with exact integer accumulation (cv2 accumulates in double;
+    # a plain f32 cumsum of hist*level drifts once the weighted sum passes
+    # 2^24 — boards are ~0.4-1 Mpx, sums reach ~1e8). Counts fit i32
+    # directly; the first moment splits level = 16*q + r so each i32
+    # cumsum stays < 2^31, recombined in f32 (only the final conversion
+    # rounds, at 2^-24 relative — below any realistic variance tie).
+    levels_i = jnp.arange(256, dtype=jnp.int32)
+    q1 = jnp.cumsum(hist_i).astype(jnp.float32)  # counts <= t, exact
+    s_hi = jnp.cumsum(hist_i * (levels_i // 16)).astype(jnp.float32)
+    s_lo = jnp.cumsum(hist_i * (levels_i % 16)).astype(jnp.float32)
+    s1 = 16.0 * s_hi + s_lo
+    n = q1[-1]
     total = s1[-1]
     q2 = n - q1
     m1 = s1 / jnp.maximum(q1, 1e-38)

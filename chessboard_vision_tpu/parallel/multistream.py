@@ -168,8 +168,10 @@ class MultiStreamPipeline:
         squares = jnp.stack([
             mr.resample_gray_u8(gray_frames[i], plan, dims)
             for i, (plan, dims) in enumerate(zip(plan_arrays, self._plan_dims))
-        ])  # (N, 64, H+4, W+4)
-        return gaussian_blur_valid(squares, 5)
+        ])  # (N, 64, H+2p, W+2p)
+        # pad must match the single-stream preprocess (pipeline.py), else
+        # geometries built with blur_pad != 2 misalign vs masks/ref shapes
+        return gaussian_blur_valid(squares, 5, pad=self.pipe._pad)
 
     def init_state(self) -> MultiStreamState:
         def stack(leaf):

@@ -106,6 +106,15 @@ class TestFilters:
         ref2 = cv2.normalize(img2, None, alpha=0, beta=255, norm_type=cv2.NORM_MINMAX)
         assert np.array_equal(ours2, ref2)
 
+    def test_normalize_minmax_constant_image(self):
+        # mx == mn: naive scale math gives 0*inf = NaN, whose u8 cast is
+        # undefined on TPU; cv2's saturate_cast(NaN) yields 0 (all-alpha)
+        img = np.full((20, 30, 3), 137, np.uint8)
+        ours = np.asarray(ops.normalize_minmax(img))
+        ref = cv2.normalize(img, None, alpha=0, beta=255, norm_type=cv2.NORM_MINMAX)
+        assert np.array_equal(ours, ref)
+        assert ours.max() == 0
+
     def test_sobel3_exact(self, rng):
         x = _rand_img(rng, 40, 40, c=0)
         dx, dy = ops.sobel3(x)

@@ -54,6 +54,11 @@ class TestDeviceNoiseFsm:
                 if h_fired:
                     got = {(s % 8, s // 8) for s in np.where(np.asarray(out.squares))[0]}
                     assert got == h_data["squares"]
+                # lifted-square parity (incl. the noise->pending refresh)
+                h_lift = host.last_lifted_square
+                d_lift = int(dev.lifted)
+                want = -1 if h_lift is None else h_lift[1] * 8 + h_lift[0]
+                assert d_lift == want, (trial, t, h_lift, d_lift, h_data)
 
     def test_lifted_tracking(self):
         dev = fsm_ops.init_state()

@@ -212,3 +212,24 @@ class TestChangeDetector:
         intensity = jnp.zeros((64,), jnp.int32).at[3].set(2).at[10].set(1)
         hand, move, cand = change_ops.classify_hand_pattern(intensity, jnp.ones((64,), bool))
         assert not bool(hand) and bool(move) and int(jnp.sum(cand)) == 2
+
+
+class TestChangeUncalibratedGate:
+    def test_uncalibrated_model_reports_nothing(self, rng):
+        """init_state (means/vars 0) must not produce inf/NaN z-scores or
+        phantom TOTAL changes — the reference returns no results before
+        calibrate() (change_detector.py:105-110)."""
+        import jax.numpy as jnp
+
+        state = change_ops.init_state(shape=(64, 20, 20))
+        gray = jnp.asarray(rng.integers(0, 256, (64, 20, 20), np.uint8))
+        valid = jnp.ones((64, 20, 20), bool)
+        counts = jnp.full((64,), 400, jnp.int32)
+        det = change_ops.detect(state, gray, 2.5, valid, counts)
+        assert not np.asarray(det.significant).any()
+        assert (np.asarray(det.intensity) == 0).all()
+        assert np.isfinite(np.asarray(det.z_peak)).all()
+        # after calibration the same frame is the background: still quiet
+        state = change_ops.calibrate(gray, 100.0)
+        det2 = change_ops.detect(state, gray, 2.5, valid, counts)
+        assert not np.asarray(det2.significant).any()
