@@ -162,8 +162,8 @@ def split_board_dict(img_warped: np.ndarray, grid_x=None, grid_y=None) -> dict:
     uses precomputed gather maps instead; this host helper serves tools,
     tests, and drop-in compatibility."""
     h, w = img_warped.shape[:2]
-    gx = list(map(int, grid_x)) if grid_x else linear_grid_lines(w)
-    gy = list(map(int, grid_y)) if grid_y else linear_grid_lines(h)
+    gx = list(map(int, grid_x)) if grid_x is not None and len(grid_x) else linear_grid_lines(w)
+    gy = list(map(int, grid_y)) if grid_y is not None and len(grid_y) else linear_grid_lines(h)
     out = {}
     for r in range(8):
         for c in range(8):
@@ -353,8 +353,8 @@ class BoardGeometry:
         pts = reorder(corners)
         M, bs = warp_matrix(pts, display_size, margin)
         X, Y = inverse_coord_maps(M, bs, bs, flip180=orientation_flipped)
-        gx = list(grid_lines_x) if grid_lines_x else linear_grid_lines(bs)
-        gy = list(grid_lines_y) if grid_lines_y else linear_grid_lines(bs)
+        gx = list(grid_lines_x) if grid_lines_x is not None and len(grid_lines_x) else linear_grid_lines(bs)
+        gy = list(grid_lines_y) if grid_lines_y is not None and len(grid_lines_y) else linear_grid_lines(bs)
         sq = build_square_maps(gx, gy, pad=blur_pad)
         return cls(
             matrix=M,

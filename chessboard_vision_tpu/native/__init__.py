@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 
 import numpy as np
 
@@ -28,7 +29,7 @@ def _build():
         )
         return True
     except (subprocess.SubprocessError, OSError) as e:
-        print(f"[native] build failed: {e}")
+        print(f"[native] build failed: {e}", file=sys.stderr)
         return False
 
 
@@ -52,7 +53,7 @@ def _load():
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError as e:
-        print(f"[native] load failed: {e}")
+        print(f"[native] load failed: {e}", file=sys.stderr)
         return
 
     u8p = ctypes.POINTER(ctypes.c_uint8)

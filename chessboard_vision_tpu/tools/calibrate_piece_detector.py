@@ -40,7 +40,9 @@ def export_stats(path, out, settings):
     radius = np.asarray(out.radius)
     method = np.asarray(out.method)
     conf = np.asarray(out.confidence)
-    has = np.asarray(out.occupancy)
+    # raw occupancy: method/radius/conf describe THIS frame's detection;
+    # smoothing-held squares would export "method=None r=0px" nonsense
+    has = np.asarray(out.raw_occupancy)
     lines = [
         f"piece detector stats — {datetime.datetime.now():%Y-%m-%d %H:%M}",
         f"settings: {settings}",
@@ -83,6 +85,8 @@ def main(camera_id: int = 0):
     pipe = None
     state = None
     current = None
+    pending = None
+    pending_stable = 0
     out = None
     print("'s' saves settings, 'e' exports piece_stats.txt, 'q' quits")
 
@@ -97,7 +101,16 @@ def main(camera_id: int = 0):
             "param2": max(cv2.getTrackbarPos("Param2", win), 5),
             "center_diff": max(cv2.getTrackbarPos("Center diff", win), 5),
         }
-        if settings != current:
+        # Debounced rebuild: thresholds are compile-time constants of the
+        # jitted step, so a rebuild costs a fresh XLA compile — rebuilding
+        # on every trackbar notch would freeze the UI for the whole drag.
+        # Only rebuild once the sliders have been still for ~0.5 s.
+        if settings != pending:
+            pending = dict(settings)
+            pending_stable = 0
+        else:
+            pending_stable += 1
+        if settings != current and (pipe is None or pending_stable >= 15):
             current = dict(settings)
             pipe = VisionPipeline(
                 geometry,

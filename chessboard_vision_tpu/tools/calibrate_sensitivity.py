@@ -72,6 +72,8 @@ def main(camera_id: int = 0):
     pipe = None
     state = None
     current = None
+    pending = None
+    pending_stable = 0
     game = GameState()
     noise_events = 0
     hand_test = False
@@ -88,7 +90,15 @@ def main(camera_id: int = 0):
         blur += 1 - blur % 2  # odd kernel, like the reference's trackbar mapping
         settings = {"z_threshold": z, "initial_variance": var0, "alpha": alpha,
                     "blur_kernel": blur}
-        if settings != current:
+        # Debounced rebuild (see calibrate_piece_detector): thresholds are
+        # compile-time constants, so a rebuild = a fresh XLA compile;
+        # rebuilding per trackbar notch would freeze the UI mid-drag.
+        if settings != pending:
+            pending = dict(settings)
+            pending_stable = 0
+        else:
+            pending_stable += 1
+        if settings != current and (pipe is None or pending_stable >= 15):
             # the baked-in square border must cover the blur kernel: rebuild
             # geometry when the kernel outgrows it
             if current is None or blur != current["blur_kernel"]:

@@ -98,8 +98,14 @@ class CalibrationModule:
                 cv2.destroyAllWindows()
                 return None
             if key == ord("w"):
+                if flipped:
+                    # refined grid lines belong to the other orientation;
+                    # a 180-degree flip mirrors every asymmetric line
+                    grid_x, grid_y = None, None
                 flipped = False
             elif key == ord("b"):
+                if not flipped:
+                    grid_x, grid_y = None, None
                 flipped = True
             elif key == ord("g"):
                 grid_x, grid_y = geo.refine_grid(warped)

@@ -37,8 +37,14 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args(argv)
 
-    # fixture generator lives with the tests; reuse it
-    sys.path.insert(0, "tests")
+    # fixture generator lives with the tests; resolve relative to the
+    # repo, not the cwd (the module runs from anywhere)
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sys.path.insert(0, os.path.join(repo_root, "tests"))
     from fixtures import make_board_frame
 
     rng = np.random.default_rng(args.seed)

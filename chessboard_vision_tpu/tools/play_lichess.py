@@ -63,16 +63,27 @@ def main(argv=None):
     use_ring = native.AVAILABLE and not args.no_ring
     ring = None
     stop = threading.Event()
+    capture_thread = None
     if use_ring:
         ring = native.FrameRing((HEIGHT, WIDTH, 3), n_slots=4)
 
         def capture_loop():
+            warned = False
             while not stop.is_set():
                 ok, img = cap.read()
-                if ok:
-                    ring.push(np.ascontiguousarray(img))
+                if not ok:
+                    continue
+                if img.shape != (HEIGHT, WIDTH, 3):
+                    if not warned:
+                        print(f"[ring] camera delivers {img.shape}, expected "
+                              f"{(HEIGHT, WIDTH, 3)}; frames dropped — use "
+                              "--no-ring or fix the camera mode")
+                        warned = True
+                    continue
+                ring.push(np.ascontiguousarray(img))
 
-        threading.Thread(target=capture_loop, daemon=True).start()
+        capture_thread = threading.Thread(target=capture_loop, daemon=True)
+        capture_thread.start()
 
     frame_count = 0
     try:
@@ -81,6 +92,11 @@ def main(argv=None):
                 ring.skip_to_latest()
                 seq, img = ring.pop()
                 if not seq:
+                    # Keep the GUI event loop + keyboard alive while the
+                    # ring is empty (a dead capture thread must not turn
+                    # this into an unkillable busy spin).
+                    if cv2.waitKey(15) & 0xFF == ord("q"):
+                        break
                     continue
             else:
                 ok, img = cap.read()
@@ -105,6 +121,10 @@ def main(argv=None):
                 print(f"[checkpoint] {args.checkpoint}")
     finally:
         stop.set()
+        if capture_thread is not None:
+            # cap.read() and cap.release() racing is not thread-safe;
+            # let the capture loop observe stop first.
+            capture_thread.join(timeout=2.0)
         session.on_exit()
         cap.release()
         cv2.destroyAllWindows()

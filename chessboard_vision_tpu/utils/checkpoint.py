@@ -49,5 +49,11 @@ def load_tree(path: str, template: Any) -> Tuple[Any, dict]:
                     f"{np.shape(tmpl)} — was the pipeline built with a "
                     "different geometry?"
                 )
+            # coerce to the template's dtype (as documented): a leaf
+            # saved under a different dtype config would otherwise change
+            # the jitted step's signature or fail deep inside the scan
+            want = np.asarray(tmpl).dtype
+            if arr.dtype != want:
+                arr = arr.astype(want)
             leaves.append(jnp.asarray(arr))
     return jax.tree.unflatten(treedef, leaves), meta

@@ -26,7 +26,9 @@ def setup_logger(
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
     fmt = logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
-    ch = logging.StreamHandler(sys.stdout)
+    # stderr: tools keep stdout for their own output (bench.py's
+    # one-JSON-line contract sets the convention)
+    ch = logging.StreamHandler(sys.stderr)
     ch.setLevel(console_level)
     ch.setFormatter(fmt)
     logger.addHandler(ch)
