@@ -44,6 +44,8 @@ class MatmulResamplePlan(NamedTuple):
     fy: jnp.ndarray  # (64, Qr, Qc) f32
     uy_off: jnp.ndarray  # (64, Qr, Qc) i32 floor-row offset within band
     zero_mask: jnp.ndarray  # (64, Qr, Qc) bool -> output forced 0
+    col_base: jnp.ndarray  # (64, Qc) i32 column-band start (region-local)
+    ux_off: jnp.ndarray  # (64, Qr, Qc) i32 floor-col offset within col band
 
 
 class MatmulResampleDims(NamedTuple):
@@ -56,6 +58,8 @@ class MatmulResampleDims(NamedTuple):
     src_w: int
     ry0: Tuple[int, ...]  # (64,) region row starts (static)
     rx0: Tuple[int, ...]  # (64,) region col starts (static)
+    col_band: int = 0  # BC: cols per output col shared across ALL rows
+    # (0 = too wide, use the per-row path)
 
 
 def build_plan(qx: np.ndarray, qy: np.ndarray, src_h: int, src_w: int):
@@ -99,6 +103,18 @@ def build_plan(qx: np.ndarray, qy: np.ndarray, src_h: int, src_w: int):
     ix_loc = np.clip(ix - rx0[:, None, None], 0, RW - 2)
     ix_loc = np.where(bad, 0, ix_loc)
 
+    # Horizontal band per (square, out-COLUMN), shared across all rows —
+    # lets the horizontal lerp run as ONE per-square column-select matmul
+    # instead of a per-(square,row) batch of M=2 matmuls (terrible MXU
+    # shapes). BC is the per-column source-col drift over the square's
+    # height (the homography's x-shear) + 2 taps; falls back to the
+    # per-row path when shear is pathological (BC > 16).
+    col_min = np.where(bad, big, ix_loc).min(axis=1)  # (64, Qc)
+    col_min = np.clip(col_min, 0, RW - 2)
+    BC = int(np.where(bad, 0, ix_loc - col_min[:, None, :]).max()) + 2
+    col_base = np.clip(col_min, 0, RW - BC)
+    ux_off = np.clip(np.where(bad, 0, ix_loc - col_base[:, None, :]), 0, BC - 2)
+
     plan = MatmulResamplePlan(
         row_base=jnp.asarray(row_base.astype(np.int32)),
         col_ix=jnp.asarray(ix_loc.astype(np.int32)),
@@ -106,6 +122,8 @@ def build_plan(qx: np.ndarray, qy: np.ndarray, src_h: int, src_w: int):
         fy=jnp.asarray(fy),
         uy_off=jnp.asarray(uy_off.astype(np.int32)),
         zero_mask=jnp.asarray(bad),
+        col_base=jnp.asarray(col_base.astype(np.int32)),
+        ux_off=jnp.asarray(ux_off.astype(np.int32)),
     )
     dims = MatmulResampleDims(
         q_rows=Qr,
@@ -117,6 +135,7 @@ def build_plan(qx: np.ndarray, qy: np.ndarray, src_h: int, src_w: int):
         src_w=src_w,
         ry0=tuple(int(v) for v in ry0),
         rx0=tuple(int(v) for v in rx0),
+        col_band=BC if BC <= 16 else 0,
     )
     return plan, dims
 
@@ -143,19 +162,62 @@ def resample(gray: jnp.ndarray, plan: MatmulResamplePlan, dims: MatmulResampleDi
     rowsel = (rows_iota == want).astype(jnp.float32).reshape(n_sq, Qr * B, RH)
     band = jax.lax.dot_general(
         rowsel, regions, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ).reshape(n_sq, Qr, B, RW)
+    )  # (64, Qr*B, RW)
 
-    # 2. Column-weight matmul (horizontal lerp).
-    v_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, Qr, RW, Qc), 2)
-    ci = plan.col_ix[:, :, None, :]
-    fxw = plan.fx[:, :, None, :]
-    colw = jnp.where(v_iota == ci, 1.0 - fxw, 0.0) + jnp.where(v_iota == ci + 1, fxw, 0.0)
-    g = jax.lax.dot_general(
-        band.reshape(n_sq * Qr, B, RW),
-        colw.reshape(n_sq * Qr, RW, Qc),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).reshape(n_sq, Qr, B, Qc)
+    BC = dims.col_band
+    if BC:
+        # 2a. Column-SELECT matmul: the 0/1 one-hot is shared across all
+        # rows of a square (the col band covers the homography's x-shear
+        # over the square height), so this is ONE per-square
+        # (Qr*B, RW) @ (RW, Qc*BC) matmul — MXU-shaped, instead of a
+        # Qr-batched M=B stack at ~2% utilization. The selection matrix
+        # is exact (0/1), so this path is MORE accurate than the fused
+        # fractional-weight matmul it replaces (lerp runs in f32 on the
+        # VPU, not via the MXU's bf16 passes).
+        # Tap-major, Qc-minor layout: Qc must stay the lane (minor) dim —
+        # a (..., Qc, BC) layout puts BC=2-4 in the lanes and tiles at
+        # ~2% density (measured 100x slower).
+        v_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, RW, BC * Qc), 1)
+        wantc = (
+            plan.col_base[:, None, :]
+            + jax.lax.broadcasted_iota(jnp.int32, (n_sq, BC, Qc), 1)
+        ).reshape(n_sq, 1, BC * Qc)
+        colsel = (v_iota == wantc).astype(jnp.float32)
+        cb = jax.lax.dot_general(
+            band, colsel, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(n_sq, Qr, B, BC, Qc)
+
+        # 3a. Bilinear lerp, fully elementwise: horizontal over the BC
+        # column taps, vertical over the B band rows.
+        ux = plan.ux_off[:, :, None, :]
+        fxw = plan.fx[:, :, None, :]
+        # Fixed-order unrolled tap sum (BC is a small static): a reduce
+        # over the tap axis can be tiled/reassociated differently by the
+        # scan vs single-step programs, flipping .5-boundary u8 rounds
+        # and breaking step_many's scan-exactness contract.
+        g = jnp.zeros((n_sq, Qr, B, Qc), jnp.float32)
+        for c in range(BC):
+            whc = jnp.where(c == ux, 1.0 - fxw, 0.0) + jnp.where(
+                c == ux + 1, fxw, 0.0
+            )
+            g = g + cb[:, :, :, c, :] * whc
+    else:
+        # 2b. Per-row column-weight matmul (fallback for pathological
+        # shear where the shared column band would be too wide).
+        band = band.reshape(n_sq, Qr, B, RW)
+        v_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, Qr, RW, Qc), 2)
+        ci = plan.col_ix[:, :, None, :]
+        fxw = plan.fx[:, :, None, :]
+        colw = jnp.where(v_iota == ci, 1.0 - fxw, 0.0) + jnp.where(
+            v_iota == ci + 1, fxw, 0.0
+        )
+        g = jax.lax.dot_general(
+            band.reshape(n_sq * Qr, B, RW),
+            colw.reshape(n_sq * Qr, RW, Qc),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(n_sq, Qr, B, Qc)
 
     # 3. Vertical lerp over the band rows.
     b_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, Qr, B, Qc), 2)
