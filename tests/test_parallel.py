@@ -159,3 +159,46 @@ class TestMultiStream:
         # the stream axis really is sharded
         shard_devs = {d for s in jax.tree.leaves(state.pipe)[0].addressable_shards for d in [s.device]}
         assert len(shard_devs) == 8
+
+
+class TestPerStreamChunkHWC:
+    def test_step_chunk_accepts_hwc_in_per_stream_mode(self, rng):
+        """step_chunk's documented (T, N, H, W, 3) HWC host input must be
+        converted for the planar-only per-stream extraction (review fix);
+        tick semantics must equal sequential step() calls."""
+        from fixtures import make_board_frame
+
+        corners_a = DEFAULT_CORNERS
+        corners_b = DEFAULT_CORNERS + np.array([[10, 6], [-8, 4], [6, -5], [-9, -8]])
+        geos = [
+            geo.BoardGeometry.from_calibration(corners_a),
+            geo.BoardGeometry.from_calibration(corners_b),
+        ]
+        occ = initial_occupancy()
+        f0 = np.stack([
+            make_board_frame(occ, rng, corners=corners_a),
+            make_board_frame(occ, rng, corners=corners_b),
+        ])
+        ticks = np.stack([
+            np.stack([
+                make_board_frame(occ, rng, corners=corners_a),
+                make_board_frame(occ, rng, corners=corners_b),
+            ])
+            for _ in range(3)
+        ])  # (T=3, N=2, H, W, 3) HWC
+
+        ms = MultiStreamPipeline(geos, n_streams=2)
+        state0 = ms.capture_reference(ms.init_state(), f0)
+
+        import jax
+        st_chunk, out_chunk = ms.step_chunk(
+            jax.tree.map(jnp.copy, state0), ticks
+        )
+
+        st_seq = jax.tree.map(jnp.copy, state0)
+        for t in range(3):
+            st_seq, out_t = ms.step(st_seq, ticks[t])
+            assert np.array_equal(
+                np.asarray(out_chunk.step.occupancy[t]),
+                np.asarray(out_t.step.occupancy),
+            ), f"tick {t}"
