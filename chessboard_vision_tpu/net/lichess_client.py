@@ -175,7 +175,10 @@ class LichessClient:
                 )
                 return
             self.log.info("stream ended; reconnect %d/%d", retries, max_retries)
-            time.sleep(backoff * retries)
+            # Floor of one backoff even when the attempt was "productive"
+            # (every connect yields gameFull, so retries==0 there — without
+            # the floor a drop-after-handshake loop reconnects hot).
+            time.sleep(backoff * max(retries, 1))
 
     def _set_my_color(self, event: dict):
         my_id = (self.username or "").lower()

@@ -198,14 +198,21 @@ class MultiStreamPipeline:
         both layouts (the HWC branch is the bit-exact oracle path)."""
         if (
             self._stream_plans is not None
-            and isinstance(frames, np.ndarray)
+            and hasattr(frames, "ndim")
             and frames.ndim == 4
             and frames.shape[-1] == 3
+            and frames.shape[-3] != 3
         ):
-            from chessboard_vision_tpu.ops import static_resample as sr
+            # Layout detected by shape, not array type: a jnp HWC batch
+            # must not silently take the planar path (it would fail with
+            # a shape error deep inside the jitted extraction).
+            if isinstance(frames, np.ndarray):
+                from chessboard_vision_tpu.ops import static_resample as sr
 
-            frames = np.stack([sr.to_planar(f) for f in frames])
-        return self._place(jnp.asarray(frames))
+                frames = np.stack([sr.to_planar(f) for f in frames])
+            else:
+                frames = jnp.moveaxis(frames, -1, -3)
+        return self._place(frames)
 
     def capture_reference(self, state: MultiStreamState, frames) -> MultiStreamState:
         pipe = self._capture(
@@ -214,11 +221,22 @@ class MultiStreamPipeline:
         return MultiStreamState(pipe=pipe, noise=state.noise)
 
     def _place(self, arr):
-        if self.mesh is not None:
-            return jax.device_put(
-                arr, mesh_lib.stream_sharding(self.mesh, axis="data")
-            )
-        return arr
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        sharding = mesh_lib.stream_sharding(self.mesh, axis="data")
+        if jax.process_count() > 1:
+            # Multi-host fleet: each process passes only its OWN rigs'
+            # frames (n_streams / process_count of them); they are
+            # assembled into the global batch without any host ever
+            # materializing the fleet's frames (scaling-book recipe;
+            # parallel/distributed.distribute_local_streams).
+            local = np.asarray(arr)
+            n_local = self.n_streams // jax.process_count()
+            if local.shape[0] == n_local:
+                return jax.make_array_from_process_local_data(
+                    sharding, local, (self.n_streams,) + local.shape[1:]
+                )
+        return jax.device_put(arr, sharding)
 
     def step(
         self,
@@ -253,17 +271,22 @@ class MultiStreamPipeline:
         scan-exact vs T sequential step() calls."""
         if (
             self._stream_plans is not None
-            and isinstance(frames, np.ndarray)
+            and hasattr(frames, "ndim")
             and frames.ndim == 5
             and frames.shape[-1] == 3
+            and frames.shape[-3] != 3
         ):
             # per-stream-geometry extraction is planar-only (same
-            # conversion step()/_prep_frames applies per tick)
-            from chessboard_vision_tpu.ops import static_resample as sr
+            # conversion step()/_prep_frames applies per tick); layout
+            # detected by shape so HWC device arrays convert too
+            if isinstance(frames, np.ndarray):
+                from chessboard_vision_tpu.ops import static_resample as sr
 
-            frames = np.stack(
-                [np.stack([sr.to_planar(f) for f in tick]) for tick in frames]
-            )
+                frames = np.stack(
+                    [np.stack([sr.to_planar(f) for f in tick]) for tick in frames]
+                )
+            else:
+                frames = jnp.moveaxis(frames, -1, -3)
         frames = jnp.asarray(frames)
         t, n = frames.shape[0], self.n_streams
         if self.mesh is not None:

@@ -23,6 +23,7 @@ from chessboard_vision_tpu.geometry import BoardGeometry
 from chessboard_vision_tpu.models.pipeline import occupancy_to_set, positions_to_mask
 from chessboard_vision_tpu.parallel.multistream import MultiStreamPipeline
 from chessboard_vision_tpu.rules import chess, GameState
+from chessboard_vision_tpu.session.inference import infer_move_from_diff
 from chessboard_vision_tpu.utils.logging import get_logger
 
 
@@ -117,22 +118,6 @@ class MultiStreamSession:
         return None
 
     def _infer_move(self, st, missing, extra, vision):
-        possible = []
-        for orig in missing:
-            o = chess.square(orig[0], orig[1])
-            for dest in extra:
-                d = chess.square(dest[0], dest[1])
-                cand = chess.Move(o, d)
-                if cand not in st.game.board.legal_moves:
-                    promo = chess.Move(o, d, promotion=chess.QUEEN)
-                    if promo in st.game.board.legal_moves:
-                        cand = promo
-                if cand in st.game.board.legal_moves:
-                    possible.append(cand)
-            for move in st.game.board.legal_moves:
-                if move.from_square == o and st.game.board.is_capture(move):
-                    dt = (chess.square_file(move.to_square), chess.square_rank(move.to_square))
-                    if dt in vision:
-                        possible.append(move)
-        unique = list(set(possible))
-        return unique[0] if len(unique) == 1 else None
+        # Shared with GameSession (castling-first, pair-match, capture
+        # scan) — see session/inference.py.
+        return infer_move_from_diff(st.game, missing, extra, vision, log=self.log)

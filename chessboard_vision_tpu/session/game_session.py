@@ -21,6 +21,7 @@ import numpy as np
 from chessboard_vision_tpu import geometry as geo
 from chessboard_vision_tpu.models.pipeline import VisionPipeline, occupancy_to_set
 from chessboard_vision_tpu.rules import chess, GameState
+from chessboard_vision_tpu.session.inference import infer_move_from_diff
 from chessboard_vision_tpu.session.noise import NoiseHandler, NoiseState
 from chessboard_vision_tpu.utils.config import (
     CALIBRATION_FILE,
@@ -101,8 +102,27 @@ class GameSession:
         # never loaded it — SURVEY.md §5 quirk), the tuned change-detector
         # settings are honored here.
         change_settings = load_json_config(SENSITIVITY_FILE)
+        # "use_enhancer": true in calibration.json fuses the 5-stage
+        # enhancement ahead of detection in the SAME device step. The
+        # reference constructed its enhancer but never invoked it in the
+        # live loop (SURVEY.md §3.5; reference game_session.py:86) — here
+        # the capability is reachable from config. The color profile comes
+        # from config["enhancer_profile"] or color_profile.json (the
+        # reference's profile file, frame_enhancer.py:46-54).
+        use_enhancer = bool(config.get("use_enhancer", False))
+        enhancer_profile = None
+        if use_enhancer:
+            enhancer_profile = config.get("enhancer_profile")
+            if enhancer_profile is None:
+                from chessboard_vision_tpu.utils.config import COLOR_PROFILE_FILE
+
+                enhancer_profile = load_json_config(COLOR_PROFILE_FILE)
         self.pipeline = VisionPipeline(
-            geometry, piece_settings=piece_settings, change_settings=change_settings
+            geometry,
+            piece_settings=piece_settings,
+            change_settings=change_settings,
+            with_enhancer=use_enhancer,
+            enhancer_profile=enhancer_profile,
         )
         self.pipe_state = self.pipeline.init_state()
         self.game = GameState()
@@ -222,41 +242,11 @@ class GameSession:
     def _infer_move(self, diff_missing, diff_extra, vision_occupied):
         """Infer one legal move from occupancy diffs (game_session.py:227-265).
 
-        Deviation from the reference (documented fix): castling is
-        resolved FIRST via the exact 2-vanished/2-appeared pattern
-        (GameState._detect_castling). The reference's pair matching finds
-        4 legal candidates for a castling diff (Ke1g1/Ke1f1/Rh1f1/Rh1g1
-        are all legal exactly when O-O is) and rejects it as ambiguous —
-        the reference can never commit a castling move from vision."""
-        if len(diff_missing) == 2 and len(diff_extra) == 2:
-            castle = self.game._detect_castling(set(diff_missing), set(diff_extra))
-            if castle is not None and castle in self.game.board.legal_moves:
-                return castle
-        possible = []
-        for orig in diff_missing:
-            orig_sq = chess.square(orig[0], orig[1])
-            for dest in diff_extra:
-                dest_sq = chess.square(dest[0], dest[1])
-                cand = chess.Move(orig_sq, dest_sq)
-                if cand not in self.game.board.legal_moves:
-                    promo = chess.Move(orig_sq, dest_sq, promotion=chess.QUEEN)
-                    if promo in self.game.board.legal_moves:
-                        cand = promo
-                if cand in self.game.board.legal_moves:
-                    possible.append(cand)
-        for orig in diff_missing:
-            orig_sq = chess.square(orig[0], orig[1])
-            for move in self.game.board.legal_moves:
-                if move.from_square == orig_sq and self.game.board.is_capture(move):
-                    d = (chess.square_file(move.to_square), chess.square_rank(move.to_square))
-                    if d in vision_occupied:
-                        possible.append(move)
-        unique = list(set(possible))
-        if len(unique) == 1:
-            return unique[0]
-        if len(unique) > 1:
-            self.log.info("ambiguous moves: %s", [m.uci() for m in unique])
-        return None
+        Shared with MultiStreamSession — see session/inference.py for the
+        castling-first fix the reference's pair matching lacks."""
+        return infer_move_from_diff(
+            self.game, diff_missing, diff_extra, vision_occupied, log=self.log
+        )
 
     def on_move_detected(self, move) -> bool:
         """Subclass hook; True accepts the move locally."""

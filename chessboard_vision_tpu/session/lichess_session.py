@@ -107,6 +107,11 @@ class LichessSession(GameSession):
 
     def _handle_draw_flags(self, event: dict):
         """wdraw/bdraw mark a pending draw offer from that side."""
+        if self.my_color is None:
+            # Reconnect edge: a gameState before any gameFull — defer
+            # rather than guess (guessing 'wdraw' could auto-decline our
+            # own pending offer when we are white).
+            return
         opp_flag = "bdraw" if self.my_color == "white" else "wdraw"
         offered = bool(event.get(opp_flag))
         if offered and not self.draw_offered_by_opponent:

@@ -2,7 +2,11 @@
 fleet. Validates the multi-host mesh design end-to-end on this machine:
 distributed init (Gloo collectives), global "data" mesh, per-process
 stream contribution via distribute_local_streams, a sharded jit with a
-cross-process reduction, and host-locality of addressable shards.
+cross-process reduction, host-locality of addressable shards, and — when
+given an expected-occupancy file (argv[3]) — a REAL MultiStreamPipeline
+tick (warp -> detect -> change model -> FSM) over the global mesh with
+per-process frames, asserting this host's occupancy shards bit-match the
+single-process reference run.
 """
 
 import os
@@ -10,6 +14,7 @@ import sys
 
 pid = int(sys.argv[1])
 port = sys.argv[2]
+expected_path = sys.argv[3] if len(sys.argv) > 3 else None
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
@@ -58,5 +63,43 @@ fleet_total = jax.jit(
     out_shardings=replicated(mesh),
 )(per_stream)
 assert float(fleet_total) == 4.0, float(fleet_total)  # 4 streams of 1s
+
+# --- the real pipeline across the fleet (round-3 verdict item 4) --------
+if expected_path is not None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fleet_fixture import (  # noqa: E402
+        N_STREAMS,
+        STREAMS_PER_PROC,
+        make_fleet_pipeline,
+        stream_frames,
+    )
+
+    ms = make_fleet_pipeline(mesh)
+    state = ms.init_state()
+    local_gis = list(range(pid * STREAMS_PER_PROC, (pid + 1) * STREAMS_PER_PROC))
+    refs = np.stack([stream_frames(gi)[0] for gi in local_gis])
+    steps = np.stack([stream_frames(gi)[1] for gi in local_gis])
+
+    # Each host contributes only its own rigs' frames; _place assembles
+    # them with jax.make_array_from_process_local_data.
+    state = ms.capture_reference(state, refs)
+    state, out = ms.step(state, steps)
+
+    occ = out.step.occupancy  # global (N_STREAMS, 64), sharded over "data"
+    assert occ.shape == (N_STREAMS, 64)
+    expected = np.load(expected_path)["occ"]
+    seen = set()
+    for shard in occ.addressable_shards:
+        lo = shard.index[0].start or 0
+        hi = shard.index[0].stop or N_STREAMS
+        for gi in range(lo, hi):
+            seen.add(gi)
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), expected[lo:hi],
+            err_msg=f"occupancy mismatch for streams {lo}:{hi}",
+        )
+    # Host-locality: this process's occupancy shards are exactly its rigs'.
+    assert seen == set(local_gis), (sorted(seen), local_gis)
+    print(f"VISION-OK proc={pid}", flush=True)
 
 print(f"OK proc={pid}", flush=True)

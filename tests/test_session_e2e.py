@@ -95,3 +95,37 @@ def test_hand_occlusion_blocks_commit(session_and_frames):
     for _ in range(25):
         move = s.on_frame(make_board_frame(occ, rng))
         assert move is None
+
+
+@pytest.mark.slow
+def test_session_with_enhancer_config_key():
+    """BASELINE config-5 (full session loop) with config-1 semantics
+    (5-stage enhancement) applied: the "use_enhancer" calibration key
+    builds the fused enhanced pipeline, and the session still detects and
+    commits a move end-to-end. The reference constructed its enhancer but
+    never wired it into the loop (SURVEY.md §3.5)."""
+    rng = np.random.default_rng(78)
+    s = GameSession(headless=True)
+    s.MOVE_COOLDOWN = 0.0
+    cfg = make_config()
+    cfg["use_enhancer"] = True
+    cfg["enhancer_profile"] = {"contrast": 1.05, "brightness": 2}
+    assert s.on_calibration_requested(None, config=cfg)
+    assert s.pipeline.with_enhancer
+    assert s.pipeline.enhancer_profile["contrast"] == 1.05
+
+    occ0 = initial_occupancy()
+    s.capture_reference_frame(make_board_frame(occ0, rng))
+    for _ in range(5):
+        assert s.on_frame(make_board_frame(occ0, rng)) is None
+
+    occ1 = occ0.copy()
+    occ1[4, 1] = False
+    occ1[4, 3] = True  # e2e4
+    committed = None
+    for _ in range(40):
+        committed = s.on_frame(make_board_frame(occ1, rng))
+        if committed:
+            break
+    assert committed is not None and committed.uci() == "e2e4"
+    assert s.game.board.move_stack[-1].uci() == "e2e4"
