@@ -3,9 +3,14 @@
 
 Prints ONE JSON line on stdout:
   {"metric": "fps_1080p_frame_to_fen", "value": N, "unit": "fps",
-   "vs_baseline": N/500}
-(the BASELINE north-star is >=500 fps). Per-stage and batched-stream
-details go to stderr.
+   "vs_baseline": N/500, "extras": {...}}
+(the BASELINE north-star is >=500 fps). ``extras`` carries the full
+BASELINE metric surface machine-readably: distinct-frames fps (16
+distinct frames per chunk, two alternating chunk buffers — forecloses
+the same-input objection; state threading already defeats the tunnel's
+execution cache), strict-sync p50 latency, batched N-stream aggregate,
+and the enhanced-path fps (measured in the same run unless --dry).
+Human-readable details go to stderr.
 
 The throughput path is the chunked step (pipeline.step_many): K frames per
 device dispatch via lax.scan, one small D2H per chunk. Per-frame semantics
@@ -131,52 +136,92 @@ def main():
     K = max(1, args.chunk)
     n_chunks = max(1, iters // K)
     iters = n_chunks * K
-    frames_dev = jnp.asarray(
+    DEPTH = 2
+    # Flat scans of length >= 32 hang this environment's remote compiler;
+    # the nested scan-of-scans form compiles like its inner length and
+    # keeps the K-fold D2H amortization (models/pipeline._steps_impl).
+    INNER = 16 if K >= 32 else 0
+    extras = {"chunk": K, "frames": iters}
+
+    def measure_chunked(p, st, chunk_buffers, n_ch, passes, label):
+        """Depth-2 pipelined chunk loop; every frame's occupancy becomes a
+        FEN on the host. Returns (state, best ms/frame, last fen)."""
+        st, outs = p.step_many(st, chunk_buffers[0], inner_chunk=INNER)
+        jax.block_until_ready(outs)  # compile chunk program
+        fen = [None]
+        n_fens = [0]
+
+        def drain(occ_dev):
+            for occ in np.asarray(occ_dev):  # (K, 64)
+                mask = occ.reshape(8, 8).T  # [rank*8+file] -> [file, rank]
+                fen[0] = occupancy_to_fen(mask)
+                n_fens[0] += 1
+
+        # Best of N passes: the tunnel-attached TPU shows +-40% wall
+        # variance between runs from shared-host load; the fastest pass is
+        # the one that reflects device throughput (device op time is
+        # stable across passes).
+        best = float("inf")
+        total = n_ch * chunk_buffers[0].shape[0]
+        for _pass in range(passes):
+            n_fens[0] = 0
+            inflight = []
+            t_start = time.perf_counter()
+            for i in range(n_ch):
+                st, outs = p.step_many(
+                    st, chunk_buffers[i % len(chunk_buffers)], inner_chunk=INNER
+                )
+                try:
+                    outs.occupancy.copy_to_host_async()
+                except AttributeError:
+                    pass
+                inflight.append(outs.occupancy)
+                if len(inflight) > DEPTH:
+                    drain(inflight.pop(0))
+            for occ_dev in inflight:
+                drain(occ_dev)
+            wall = time.perf_counter() - t_start
+            assert n_fens[0] == total
+            best = min(best, wall / total)
+            log(f"  {label} pass {_pass + 1}/{passes}: "
+                f"{wall / total * 1e3:.2f} ms/frame")
+        return st, best, fen[0]
+
+    same_chunk = jnp.asarray(
         np.broadcast_to(np.asarray(frame_dev), (K,) + frame_dev.shape).copy()
     )
-    state, outs = pipe.step_many(state, frames_dev)
-    jax.block_until_ready(outs)  # compile chunk program
-    DEPTH = 2
-    inflight = []
-    fen = None
-    n_fens = 0
-
-    def drain(occ_dev):
-        nonlocal fen, n_fens
-        occs = np.asarray(occ_dev)  # (K, 64)
-        for occ in occs:
-            mask = occ.reshape(8, 8).T  # [rank*8+file] -> mask[file, rank]
-            fen = occupancy_to_fen(mask)
-            n_fens += 1
-
-    # Best of N passes: the tunnel-attached TPU shows +-40% wall variance
-    # between runs from shared-host load; the fastest pass is the one that
-    # reflects device throughput (device-only op time is stable).
-    best = float("inf")
-    for _pass in range(args.passes):
-        n_fens = 0
-        inflight.clear()
-        t_start = time.perf_counter()
-        for i in range(n_chunks):
-            state, outs = pipe.step_many(state, frames_dev)
-            try:
-                outs.occupancy.copy_to_host_async()
-            except AttributeError:
-                pass
-            inflight.append(outs.occupancy)
-            if len(inflight) > DEPTH:
-                drain(inflight.pop(0))
-        for occ_dev in inflight:
-            drain(occ_dev)
-        wall = time.perf_counter() - t_start
-        assert n_fens == iters
-        best = min(best, wall / iters)
-        log(f"  pass {_pass + 1}/{args.passes}: {wall / iters * 1e3:.2f} ms/frame")
-    per_frame = best
+    state, per_frame, fen = measure_chunked(
+        pipe, state, [same_chunk], n_chunks, args.passes, "same-frame"
+    )
     fps = 1.0 / per_frame
     variant = "enhanced " if args.enhance else ""
     log(f"single-stream {variant}(chunk {K}, depth {DEPTH}): "
         f"{per_frame * 1e3:.2f} ms/frame  fps {fps:.1f}  fen={fen.split()[0]}")
+
+    # Distinct-frames variant: 2*K genuinely different frames (per-frame
+    # sensor noise re-rendered on host, shipped once, device-resident),
+    # alternating between two chunk buffers — no two consecutive chunk
+    # inputs are equal and every frame inside a chunk differs.
+    def noisy_chunk(seed):
+        r = np.random.default_rng(seed)
+        arr = np.stack([
+            to_planar(
+                np.clip(
+                    frame.astype(np.int16) + r.integers(-4, 5, frame.shape),
+                    0, 255,
+                ).astype(np.uint8)
+            )
+            for _ in range(K)
+        ])
+        return jnp.asarray(arr)
+
+    distinct = [noisy_chunk(1), noisy_chunk(2)]
+    state, dist_ms, dist_fen = measure_chunked(
+        pipe, state, distinct, n_chunks, max(1, args.passes - 1), "distinct"
+    )
+    log(f"distinct-frames: {dist_ms * 1e3:.2f} ms/frame  fps {1 / dist_ms:.1f}  "
+        f"fen={dist_fen.split()[0]}")
+    extras["distinct_frames_fps"] = round(1.0 / dist_ms, 1)
 
     if args.trace:
         jax.profiler.start_trace(args.trace)
@@ -193,7 +238,9 @@ def main():
         state, out = pipe.step(state, frame_dev)
         _ = np.asarray(out.occupancy)
         times.append(time.perf_counter() - t0)
-    log(f"strict-sync latency: p50 {np.percentile(times, 50) * 1e3:.2f} ms")
+    strict_p50 = float(np.percentile(times, 50) * 1e3)
+    log(f"strict-sync latency: p50 {strict_p50:.2f} ms")
+    extras["strict_sync_p50_ms"] = round(strict_p50, 2)
 
     # secondary: batched streams on one chip
     try:
@@ -230,8 +277,29 @@ def main():
         mdt = (time.perf_counter() - t0) / (n_mchunks * T)
         log(f"batched {n}-stream (chunk {T}): {mdt * 1e3:.2f} ms/tick -> "
             f"{n / mdt:.1f} frames/s aggregate")
+        extras["batched_streams"] = n
+        extras["batched_aggregate_fps"] = round(n / mdt, 1)
     except Exception as e:  # secondary metric must not break the bench
         log(f"batched bench skipped: {e}")
+
+    # Enhanced path (BASELINE config 1) in the same run, so the artifact
+    # carries the full metric surface. Skipped under --enhance (it IS the
+    # headline then) and under --dry (compile cost).
+    if not args.enhance and not args.dry:
+        try:
+            epipe = build((w, h), corners, with_enhancer=True)
+            estate = epipe.init_state()
+            estate = epipe.capture_reference(estate, frame_dev)
+            en_chunks = max(1, min(n_chunks, 128 // K))
+            estate, ems, efen = measure_chunked(
+                epipe, estate, [same_chunk], en_chunks, args.passes, "enhanced"
+            )
+            log(f"enhanced: {ems * 1e3:.2f} ms/frame  fps {1 / ems:.1f}  "
+                f"fen={efen.split()[0]}")
+            extras["enhanced_fps"] = round(1.0 / ems, 1)
+            extras["enhanced_vs_baseline"] = round(1.0 / ems / 500.0, 3)
+        except Exception as e:
+            log(f"enhanced bench skipped: {e}")
 
     metric = "fps_1080p_enhanced_frame_to_fen" if args.enhance else "fps_1080p_frame_to_fen"
     print(json.dumps({
@@ -239,6 +307,7 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 500.0, 3),
+        "extras": extras,
     }))
 
 

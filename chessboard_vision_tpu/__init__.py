@@ -31,7 +31,7 @@ def __getattr__(name):
     main classes."""
     _api = {
         "enhance_frame", "extract_grid", "detect_pieces", "detect_changes",
-        "frame_to_fen", "generate_fen", "occupancy_to_fen",
+        "frame_to_fen", "frame_to_full_fen", "generate_fen", "occupancy_to_fen",
         "occupancy_to_colored_fen",
     }
     if name in _api:

@@ -142,3 +142,62 @@ def frame_to_fen(
     for f, r in occ:
         mask[f, r] = True
     return occupancy_to_fen(mask)
+
+
+def frame_to_full_fen(
+    frame: np.ndarray,
+    corners,
+    calibration_frames,
+    calibration_board=None,
+    frames=None,
+    settings: Optional[dict] = None,
+) -> str:
+    """Frame(s) -> FULL FEN placement via the piece-TYPE classifier.
+
+    calibration_frames: one frame (or list) of a KNOWN position
+    (calibration_board, default the initial setup) — per-type radius
+    centroids are fitted there (rules.piece_types; the capability the
+    reference's fen_generator API waits for). frames: optional extra
+    frames of the target position to average radii over (detected radii
+    jitter a few px per frame). Unknown squares degrade to the colored-FEN
+    pawn placeholder.
+    """
+    from chessboard_vision_tpu.rules import chess, classify_piece_colors
+    from chessboard_vision_tpu.rules.piece_types import (
+        PieceTypeClassifier,
+        average_radii,
+        occupancy_to_full_fen,
+    )
+
+    if calibration_board is None:
+        calibration_board = chess.Board()
+    if not isinstance(calibration_frames, (list, tuple)):
+        calibration_frames = [calibration_frames]
+    target_frames = [frame] + list(frames or [])
+
+    pipe, state = _pipeline_for(corners, settings)
+    all_sq = {(f, r) for f in range(8) for r in range(8)}
+
+    def radii_over(st, frs):
+        rads, out = [], None
+        for fr in frs:
+            st, out = pipe.step(
+                st, fr, squares_to_check=all_sq,
+                use_smoothing=False, use_delta=False,
+            )
+            rads.append(np.asarray(out.radius))
+        return st, average_radii(np.stack(rads)), out
+
+    state = pipe.capture_reference(state, calibration_frames[0])
+    state, cal_radii, _ = radii_over(state, calibration_frames)
+    clf = PieceTypeClassifier()
+    clf.calibrate(cal_radii, calibration_board)
+
+    state = pipe.capture_reference(state, target_frames[0])
+    state, radii, out = radii_over(state, target_frames)
+    occ = np.asarray(out.occupancy)
+    colors = classify_piece_colors(
+        np.asarray(out.center_mean), occ, np.asarray(out.corner_mean)
+    )
+    chars = clf.classify(radii, occ, colors)
+    return occupancy_to_full_fen(occ.reshape(8, 8).T, chars, piece_colors=colors)

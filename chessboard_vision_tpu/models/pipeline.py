@@ -226,7 +226,7 @@ class VisionPipeline:
         )
         self._step_many = jax.jit(
             partial(self._steps_impl),
-            static_argnames=("use_smoothing", "use_delta"),
+            static_argnames=("use_smoothing", "use_delta", "inner_chunk"),
             donate_argnums=donate,
         )
         self._preprocess_j = jax.jit(self._preprocess)
@@ -386,6 +386,7 @@ class VisionPipeline:
         consts: Optional[StepConsts] = None,
         use_smoothing: bool = True,
         use_delta: bool = True,
+        inner_chunk: int = 0,
     ):
         """lax.scan of _step_impl over a (K, ...) frame chunk.
 
@@ -394,6 +395,13 @@ class VisionPipeline:
         semantics (delta cache, smoothing history, EMA model, refresh) stay
         identical to K sequential step() calls — parity-tested in
         tests/test_pipeline_e2e.py.
+
+        inner_chunk > 0 nests the scan as (K // inner_chunk) x inner_chunk
+        (scan-of-scans). Semantically identical; exists because this
+        environment's remote compiler hangs on FLAT scans of length >= 32
+        while the nested form compiles like the inner length — K = 32 with
+        inner_chunk = 16 halves the per-dispatch D2H-attach cost without
+        tripping the hang (PERF.md round-2 cont. 2).
         """
         if consts is None:
             consts = self._consts
@@ -406,7 +414,22 @@ class VisionPipeline:
             )
             return st, out
 
-        return jax.lax.scan(body, state, (frames, s2c_masks, s2c_givens, refreshes))
+        xs = (frames, s2c_masks, s2c_givens, refreshes)
+        k = frames.shape[0]
+        if inner_chunk and k > inner_chunk and k % inner_chunk == 0:
+            groups = k // inner_chunk
+
+            def regroup(x):
+                return x.reshape((groups, inner_chunk) + x.shape[1:])
+
+            def outer(st, xg):
+                return jax.lax.scan(body, st, xg)
+
+            state, outs = jax.lax.scan(outer, state, jax.tree.map(regroup, xs))
+            return state, jax.tree.map(
+                lambda x: x.reshape((k,) + x.shape[2:]), outs
+            )
+        return jax.lax.scan(body, state, xs)
 
     def _capture_impl(self, state: PipelineState, frame: jnp.ndarray,
                       consts: StepConsts) -> PipelineState:
@@ -479,6 +502,7 @@ class VisionPipeline:
         refresh_first: bool = False,
         use_smoothing: bool = True,
         use_delta: bool = True,
+        inner_chunk: int = 0,
     ):
         """Process a chunk of K frames in ONE device dispatch.
 
@@ -486,6 +510,8 @@ class VisionPipeline:
         (K, H, W, 3) host HWC. Outputs are StepOutputs with a leading (K,)
         axis. squares_to_check applies to every frame of the chunk;
         refresh_first forces a visual re-reference from frame 0 only.
+        inner_chunk nests the scan (see _steps_impl) so K >= 32 chunks
+        compile on this environment's remote compiler.
         """
         if isinstance(frames, np.ndarray) and frames.ndim == 4 and frames.shape[-1] == 3:
             frames = np.stack([sr.to_planar(f) for f in frames])
@@ -505,6 +531,7 @@ class VisionPipeline:
         return self._step_many(
             state, frames, masks, givens, refreshes, self._consts,
             use_smoothing=use_smoothing, use_delta=use_delta,
+            inner_chunk=inner_chunk,
         )
 
     def warp_board(self, frame) -> np.ndarray:

@@ -187,6 +187,41 @@ def test_step_many_matches_sequential_steps(rng):
         assert np.array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_step_many_nested_scan_matches_flat(rng):
+    """step_many(inner_chunk=K/2) — the scan-of-scans form that dodges the
+    remote compiler's flat-scan-length-32 hang — is bit-identical to the
+    flat scan: outputs and carried state."""
+    import jax
+    import jax.numpy as jnp
+    from chessboard_vision_tpu.ops import static_resample as sr
+
+    g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
+    pipe = VisionPipeline(g, donate_state=False)
+    occ0 = initial_occupancy()
+    occ1 = occ0.copy()
+    occ1[4, 1] = False
+    occ1[4, 3] = True
+
+    f0 = make_board_frame(occ0, rng)
+    state_flat = pipe.capture_reference(pipe.init_state(), f0)
+    state_nest = jax.tree.map(lambda x: x.copy(), state_flat)
+
+    frames = [make_board_frame(occ0, rng) for _ in range(2)]
+    frames += [make_board_frame(occ1, rng) for _ in range(2)]
+    planar = jnp.asarray(np.stack([sr.to_planar(f) for f in frames]))
+
+    state_flat, outs_flat = pipe.step_many(state_flat, planar)
+    state_nest, outs_nest = pipe.step_many(state_nest, planar, inner_chunk=2)
+
+    for field in outs_flat._fields:
+        assert np.array_equal(
+            np.asarray(getattr(outs_flat, field)),
+            np.asarray(getattr(outs_nest, field)),
+        ), field
+    for la, lb in zip(jax.tree.leaves(state_flat), jax.tree.leaves(state_nest)):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_flipped_orientation(rng):
     """orientation_flipped geometry reports the same logical occupancy for a
     180-rotated physical setup."""

@@ -39,6 +39,10 @@ from chessboard_vision_tpu.rules import (
 
 from fixtures import (
     DEFAULT_CORNERS,
+    add_hand_sprite,
+    apply_barrel,
+    apply_motion_blur,
+    barrel_point,
     initial_occupancy,
     make_board_frame,
     make_hard_board_frame,
@@ -67,8 +71,7 @@ def clip_clean():
     occ0, occ1, occ2 = _move_script()
     frames = [make_board_frame(occ0, rng) for _ in range(6)]
     frames += [make_board_frame(occ1, rng) for _ in range(10)]
-    hand = make_board_frame(occ1, rng)
-    hand[230:540, 420:820] = (115, 108, 102)
+    hand = add_hand_sprite(make_board_frame(occ1, rng), rng)
     frames += [hand, hand.copy()]
     frames += [make_board_frame(occ2, rng) for _ in range(10)]
     frames += [make_board_frame(occ2, rng) for _ in range(10)]
@@ -83,8 +86,7 @@ def clip_hard():
     occ0, occ1, occ2 = _move_script()
     frames = [make_hard_board_frame(occ0, rng, t=0.5) for _ in range(5)]
     frames += [make_hard_board_frame(occ1, rng, t=0.5) for _ in range(8)]
-    hand = make_hard_board_frame(occ1, rng, t=0.5)
-    hand[230:540, 420:820] = (115, 108, 102)
+    hand = add_hand_sprite(make_hard_board_frame(occ1, rng, t=0.5), rng)
     frames += [hand, hand.copy()]
     frames += [make_hard_board_frame(occ2, rng, t=0.5) for _ in range(9)]
     ref_frame = make_hard_board_frame(occ0, np.random.default_rng(SEED + 3), t=0.5)
@@ -107,6 +109,45 @@ def clip_shadow():
     ref_frame = make_hard_board_frame(occ0, np.random.default_rng(SEED + 5), t=0.0)
     s2c = lambda i: ALL_SQUARES if i % 5 == 4 else None
     return ref_frame, frames, s2c
+
+
+LENS_K1 = 0.04
+LENS_CORNERS = np.array(
+    [barrel_point(c, LENS_K1) for c in DEFAULT_CORNERS]
+)
+
+
+def clip_lens():
+    """Full camera model (round-3 verdict item 6): hard renderer + slight
+    per-frame motion blur + barrel lens distortion, with the distortion
+    folded into the calibration corners (the rig is calibrated on the
+    distorted image like a real camera — the homography-only warp then
+    samples a few px off near the board rim, the realistic lens error).
+    The hand occlusion is the textured sprite with a drop shadow."""
+    rng = np.random.default_rng(SEED + 9)
+    occ0, occ1, occ2 = _move_script()
+
+    def cam(occ, i):
+        f = make_hard_board_frame(occ, rng, t=0.4)
+        f = apply_motion_blur(f, length=5, angle=0.3 + 0.05 * (i % 3))
+        return apply_barrel(f, LENS_K1)
+
+    frames = [cam(occ0, i) for i in range(5)]
+    frames += [cam(occ1, i) for i in range(8)]
+    hand = add_hand_sprite(cam(occ1, 0), rng)
+    frames += [hand, hand.copy()]
+    frames += [cam(occ2, i) for i in range(9)]
+    ref_frame = apply_barrel(
+        apply_motion_blur(
+            make_hard_board_frame(occ0, np.random.default_rng(SEED + 10), t=0.4)
+        ),
+        LENS_K1,
+    )
+    s2c = lambda i: ALL_SQUARES if i % 5 == 4 else None
+    return ref_frame, frames, s2c
+
+
+clip_lens.corners = LENS_CORNERS
 
 
 def clip_video():
@@ -209,6 +250,7 @@ CLIPS = {
     "clean": (clip_clean, os.path.join(HERE, "golden_clip.json")),
     "hard": (clip_hard, os.path.join(HERE, "golden_clip_hard.json")),
     "shadow": (clip_shadow, os.path.join(HERE, "golden_clip_shadow.json")),
+    "lens": (clip_lens, os.path.join(HERE, "golden_clip_lens.json")),
     "video": (clip_video, os.path.join(HERE, "golden_clip_video.json")),
     "castle": (_special_clip("castle", SEED + 6), os.path.join(HERE, "golden_clip_castle.json")),
     "enpassant": (
@@ -223,7 +265,8 @@ CLIPS = {
 
 
 def run_pipeline(clip_fn, hough_backend="exact", collect_occ=False):
-    g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
+    corners = getattr(clip_fn, "corners", DEFAULT_CORNERS)
+    g = geo.BoardGeometry.from_calibration(corners)
     pipe = VisionPipeline(g, hough_backend=hough_backend)
     state = pipe.init_state()
     ref_frame, frames, s2c = clip_fn()
@@ -251,7 +294,7 @@ def run_oracle(clip_fn):
     from chessboard_vision_tpu.geometry import reorder, split_board_dict
     from chessboard_vision_tpu.reference import PieceDetectorCV
 
-    pts = reorder(DEFAULT_CORNERS)
+    pts = reorder(getattr(clip_fn, "corners", DEFAULT_CORNERS))
     bs = 620
     M = cv2.getPerspectiveTransform(
         np.float32(pts).reshape(4, 2),
