@@ -65,6 +65,25 @@ class PieceTypeClassifier:
     def __init__(self):
         # (color int, piece_type int) -> mean radius (px)
         self.centroids: Dict[Tuple[int, int], float] = {}
+        # Per-square readout bias (px): the circle detector reads the same
+        # piece 2-3 px differently depending on the square's CONTEXT
+        # (crowded neighbors bleed edge votes; background texture shifts
+        # the peak). The bias is a property of the square/rig, not the
+        # piece, so it is learned from labeled samples and subtracted
+        # before centroid matching.
+        self.square_bias = np.zeros(64)
+
+    @staticmethod
+    def _labeled_means(radius, board) -> Dict[Tuple[int, int], float]:
+        rad = np.asarray(radius).reshape(64)
+        samples: Dict[Tuple[int, int], list] = {}
+        for sq in range(64):
+            piece = board.piece_at(sq)
+            if piece is None or rad[sq] <= 0:
+                continue
+            key = (int(piece.color), piece.piece_type)
+            samples.setdefault(key, []).append(float(rad[sq]))
+        return {k: float(np.mean(v)) for k, v in samples.items()}
 
     def calibrate(self, radius, board: "chess.Board") -> Dict:
         """Fit centroids from a frame of a KNOWN position.
@@ -75,15 +94,36 @@ class PieceTypeClassifier:
         contribute nothing. Returns the centroid dict (empty -> no
         circles resolved; classify() then returns all-unknown).
         """
+        self.centroids = self._labeled_means(radius, board)
+        return self.centroids
+
+    def update(self, radius, board: "chess.Board", blend: float = 0.5) -> Dict:
+        """Blend new labeled samples into centroids + per-square biases.
+
+        Between committed moves the position is always known, so every
+        stable window provides labeled samples for free. Centroids are
+        updated from bias-corrected readings; each occupied square's bias
+        then tracks its residual (reading - class centroid). Classes not
+        seen before are adopted outright; existing ones move by ``blend``
+        toward the new mean.
+        """
         rad = np.asarray(radius).reshape(64)
-        samples: Dict[Tuple[int, int], list] = {}
+        corrected = np.where(rad > 0, rad - self.square_bias, 0.0)
+        for k, v in self._labeled_means(corrected, board).items():
+            if k in self.centroids:
+                self.centroids[k] = (1.0 - blend) * self.centroids[k] + blend * v
+            else:
+                self.centroids[k] = v
         for sq in range(64):
             piece = board.piece_at(sq)
             if piece is None or rad[sq] <= 0:
                 continue
             key = (int(piece.color), piece.piece_type)
-            samples.setdefault(key, []).append(float(rad[sq]))
-        self.centroids = {k: float(np.mean(v)) for k, v in samples.items()}
+            if key in self.centroids:
+                resid = float(rad[sq]) - self.centroids[key]
+                self.square_bias[sq] = (
+                    (1.0 - blend) * self.square_bias[sq] + blend * resid
+                )
         return self.centroids
 
     def classify(self, radius, occupancy, piece_colors) -> np.ndarray:
@@ -110,7 +150,8 @@ class PieceTypeClassifier:
             if not cands:
                 out[sq] = "?"
                 continue
-            t_best = min(cands, key=lambda t: abs(cands[t] - float(rad[sq])))
+            reading = float(rad[sq]) - self.square_bias[sq]
+            t_best = min(cands, key=lambda t: abs(cands[t] - reading))
             ch = chess.PIECE_SYMBOLS[t_best]
             out[sq] = ch.upper() if color == 1 else ch
         return out

@@ -71,6 +71,15 @@ class GameSession:
         self.lifted_piece_square = None
         self.last_outputs = None
         self._refresh_next = False
+        # Piece-TYPE classification (rules/piece_types.py): rolling window
+        # of per-square radii from frames whose vision occupancy matches
+        # the rules board (stale/transition frames excluded), reset
+        # whenever the expected position changes.
+        from collections import deque
+
+        self._radius_window = deque(maxlen=8)
+        self._radius_window_occ = None
+        self.piece_types = None
         self.log = get_logger("session")
 
     # -- calibration -----------------------------------------------------
@@ -182,6 +191,7 @@ class GameSession:
         )
 
         self._update_radar_ui(vision_occupied)
+        self._track_radii(vision_occupied, out)
         move = self._process_stable_move(vision_occupied, noise_state)
 
         if not self.headless:
@@ -251,6 +261,99 @@ class GameSession:
     def on_move_detected(self, move) -> bool:
         """Subclass hook; True accepts the move locally."""
         return True
+
+    # -- piece-type classification (full FEN from vision) ----------------
+
+    def _track_radii(self, vision_occupied, out):
+        """Accumulate per-square radii from frames that agree with the
+        rules board (the stability window the radius classifier needs —
+        see rules.piece_types.average_radii). Once per position, a full
+        window also refreshes the classifier's centroids with
+        rules-labeled samples: the radius readout carries a per-square
+        neighborhood bias, so the model must keep learning from isolated
+        placements, not just the dense initial setup."""
+        with self.board_lock:
+            expected = self.game.get_board_occupancy()
+        if expected != self._radius_window_occ:
+            self._radius_window.clear()
+            self._radius_window_occ = set(expected)
+            self._types_updated_here = False
+        if vision_occupied == expected:
+            self._radius_window.append(np.asarray(out.radius))
+        if (
+            self.piece_types is not None
+            and not getattr(self, "_types_updated_here", False)
+            and len(self._radius_window) == self._radius_window.maxlen
+        ):
+            from chessboard_vision_tpu.rules.piece_types import average_radii
+
+            with self.board_lock:
+                self.piece_types.update(
+                    average_radii(np.stack(self._radius_window)), self.game.board
+                )
+            self._types_updated_here = True
+
+    def calibrate_piece_types(self):
+        """Fit the piece-type radius model on the CURRENT (known) position.
+
+        Call while the rules board matches the physical board and vision
+        has settled — typically right after capture_reference at the
+        initial setup, where all 12 (color, type) classes are visible.
+        Returns the centroid dict, or None when no stable frames have
+        accumulated yet."""
+        if not self._radius_window:
+            return None
+        from chessboard_vision_tpu.rules.piece_types import (
+            PieceTypeClassifier,
+            average_radii,
+        )
+
+        clf = PieceTypeClassifier()
+        with self.board_lock:
+            clf.calibrate(
+                average_radii(np.stack(self._radius_window)), self.game.board
+            )
+        self.piece_types = clf
+        return clf.centroids
+
+    def full_fen(self):
+        """Vision-side FULL FEN placement (piece types from the radius
+        model), independent of game-state tracking. None until
+        calibrate_piece_types has run and stable frames exist."""
+        if (
+            self.piece_types is None
+            or self.last_outputs is None
+            or not self._radius_window
+        ):
+            return None
+        from chessboard_vision_tpu.rules import classify_piece_colors
+        from chessboard_vision_tpu.rules.piece_types import (
+            average_radii,
+            occupancy_to_full_fen,
+        )
+
+        out = self.last_outputs
+        occ = np.asarray(out.occupancy)
+        colors = classify_piece_colors(
+            np.asarray(out.center_mean), occ, np.asarray(out.corner_mean)
+        )
+        chars = self.piece_types.classify(
+            average_radii(np.stack(self._radius_window)), occ, colors
+        )
+        return occupancy_to_full_fen(occ.reshape(8, 8).T, chars, piece_colors=colors)
+
+    def verify_position(self):
+        """Cross-check the vision full-FEN readout against the rules board
+        (the working version of the reference's broken board_verifiers
+        sketch, at piece-TYPE granularity). Returns (match, got, want) —
+        (None, None, want) when the classifier is not ready."""
+        with self.board_lock:
+            want = self.game.get_fen().split()[0]
+        got = self.full_fen()
+        if got is None:
+            return None, None, want
+        got = got.split()[0]
+        return got == want, got, want
 
     # -- UI ---------------------------------------------------------------
 

@@ -117,3 +117,53 @@ def test_full_fen_through_vision(rng):
     got = occupancy_to_full_fen(mask, chars, piece_colors=colors).split()[0]
     want = target.fen().split()[0]
     assert got == want, f"\ngot  {got}\nwant {want}\nchars={chars.reshape(8, 8)}"
+
+
+@pytest.mark.slow
+def test_session_full_fen_and_verify(rng):
+    """Live-session surface: calibrate_piece_types at the start position,
+    commit a move from vision, then full_fen()/verify_position() agree
+    with the rules board at piece-type granularity."""
+    from chessboard_vision_tpu.session.game_session import GameSession
+
+    s = GameSession(headless=True)
+    s.MOVE_COOLDOWN = 0.0
+    assert s.on_calibration_requested(None, config={
+        "corners": DEFAULT_CORNERS.tolist(),
+        "player_color": "white",
+        "orientation_flipped": False,
+        "grid_lines_x": None,
+        "grid_lines_y": None,
+    })
+    start = chess.Board()
+    occ0, col0, rad0 = board_render_maps(start)
+
+    def frame(board_maps):
+        o, c, r = board_maps
+        return make_board_frame(o, rng, piece_colors=c, piece_radii=r)
+
+    s.capture_reference_frame(frame((occ0, col0, rad0)))
+    for _ in range(6):
+        s.on_frame(frame((occ0, col0, rad0)))
+    cents = s.calibrate_piece_types()
+    assert cents is not None and len(cents) == 12
+
+    after = chess.Board()
+    after.push_uci("e2e4")
+    maps1 = board_render_maps(after)
+    committed = None
+    for _ in range(40):
+        committed = s.on_frame(frame(maps1))
+        if committed:
+            break
+    assert committed is not None and committed.uci() == "e2e4"
+
+    # refill the radius window on the new position; a full window also
+    # auto-refreshes the centroids with rules-labeled samples (the radius
+    # readout's neighborhood bias: crowded home squares read smaller than
+    # isolated mid-board placements)
+    for _ in range(s._radius_window.maxlen + 2):
+        s.on_frame(frame(maps1))
+    match, got, want = s.verify_position()
+    assert match is True, f"\ngot  {got}\nwant {want}"
+    assert want == after.fen().split()[0]
