@@ -46,6 +46,14 @@ class MatmulResamplePlan(NamedTuple):
     zero_mask: jnp.ndarray  # (64, Qr, Qc) bool -> output forced 0
     col_base: jnp.ndarray  # (64, Qc) i32 column-band start (region-local)
     ux_off: jnp.ndarray  # (64, Qr, Qc) i32 floor-col offset within col band
+    # Precomputed lerp weights (calibration constants — building them on
+    # device cost ~150 us/step of iota/compare fusions, and the 5-D
+    # (64, Qr, B, BC, Qc) tap tensors they fed had 2-wide sublane dims
+    # that tiled at T(2,128) with relayout copies). hw is pre-tiled over
+    # the band rows in B-MAJOR order (row index b*Qr + j), so every tap
+    # of the unrolled lerp is a static contiguous slice.
+    hw: jnp.ndarray  # (BC, 64, B*Qr, Qc) f32 horizontal tap weights
+    vw: jnp.ndarray  # (B, 64, Qr, Qc) f32 vertical tap weights
 
 
 class MatmulResampleDims(NamedTuple):
@@ -115,6 +123,19 @@ def build_plan(qx: np.ndarray, qy: np.ndarray, src_h: int, src_w: int):
     col_base = np.clip(col_min, 0, RW - BC)
     ux_off = np.clip(np.where(bad, 0, ix_loc - col_base[:, None, :]), 0, BC - 2)
 
+    # Precomputed lerp weights (see MatmulResamplePlan.hw/vw). All f32
+    # arithmetic so the weights are bit-identical to the on-device
+    # (1 - fx)/(fx) construction they replace.
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
+    hw = np.zeros((BC, n_sq, B * Qr, Qc), np.float32)
+    for c in range(BC):
+        w = np.where(c == ux_off, one - fx, zero) + np.where(c == ux_off + 1, fx, zero)
+        hw[c] = np.tile(w.astype(np.float32), (1, B, 1))  # row b*Qr+j = w[:, j]
+    vw = np.zeros((B, n_sq, Qr, Qc), np.float32)
+    for b in range(B):
+        vw[b] = np.where(b == uy_off, one - fy, zero) + np.where(b == uy_off + 1, fy, zero)
+
     plan = MatmulResamplePlan(
         row_base=jnp.asarray(row_base.astype(np.int32)),
         col_ix=jnp.asarray(ix_loc.astype(np.int32)),
@@ -124,6 +145,8 @@ def build_plan(qx: np.ndarray, qy: np.ndarray, src_h: int, src_w: int):
         zero_mask=jnp.asarray(bad),
         col_base=jnp.asarray(col_base.astype(np.int32)),
         ux_off=jnp.asarray(ux_off.astype(np.int32)),
+        hw=jnp.asarray(hw),
+        vw=jnp.asarray(vw),
     )
     dims = MatmulResampleDims(
         q_rows=Qr,
@@ -154,26 +177,31 @@ def resample(gray: jnp.ndarray, plan: MatmulResamplePlan, dims: MatmulResampleDi
         ]
     )  # (64, RH, RW)
 
-    # 1. Row-select matmul: Band[s, (j,b), v] = regions[s, row_base[s,j]+b, v]
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, Qr, B, RH), 3)
-    want = plan.row_base[:, :, None, None] + jax.lax.broadcasted_iota(
-        jnp.int32, (n_sq, Qr, B, RH), 2
-    )
-    rowsel = (rows_iota == want).astype(jnp.float32).reshape(n_sq, Qr * B, RH)
-    band = jax.lax.dot_general(
-        rowsel, regions, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (64, Qr*B, RW)
-
     BC = dims.col_band
     if BC:
+        # 1a. Row-select matmul, B-MAJOR rows:
+        #     Band[s, b*Qr+j, v] = regions[s, row_base[s,j]+b, v]
+        # B-major keeps every later tap access a static CONTIGUOUS slice
+        # (j-major interleaved the 2-wide tap dim into the sublanes,
+        # which tiled at T(2,128) with relayout copies — ~150 us/step of
+        # pure layout work at 1080p).
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, B, Qr, RH), 3)
+        want = plan.row_base[:, None, :, None] + jax.lax.broadcasted_iota(
+            jnp.int32, (n_sq, B, Qr, RH), 1
+        )
+        rowsel = (rows_iota == want).astype(jnp.float32).reshape(n_sq, B * Qr, RH)
+        band = jax.lax.dot_general(
+            rowsel, regions, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (64, B*Qr, RW)
+
         # 2a. Column-SELECT matmul: the 0/1 one-hot is shared across all
         # rows of a square (the col band covers the homography's x-shear
         # over the square height), so this is ONE per-square
-        # (Qr*B, RW) @ (RW, Qc*BC) matmul — MXU-shaped, instead of a
-        # Qr-batched M=B stack at ~2% utilization. The selection matrix
-        # is exact (0/1), so this path is MORE accurate than the fused
-        # fractional-weight matmul it replaces (lerp runs in f32 on the
-        # VPU, not via the MXU's bf16 passes).
+        # (B*Qr, RW) @ (RW, BC*Qc) matmul — MXU-shaped. The selection
+        # matrix is exact (0/1), so this path is MORE accurate than a
+        # fused fractional-weight matmul (lerp runs in f32 on the VPU,
+        # not via the MXU's bf16 passes).
         # Tap-major, Qc-minor layout: Qc must stay the lane (minor) dim —
         # a (..., Qc, BC) layout puts BC=2-4 in the lanes and tiles at
         # ~2% density (measured 100x slower).
@@ -186,40 +214,48 @@ def resample(gray: jnp.ndarray, plan: MatmulResamplePlan, dims: MatmulResampleDi
         cb = jax.lax.dot_general(
             band, colsel, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(n_sq, Qr, B, BC, Qc)
+        )  # (64, B*Qr, BC*Qc) — stays 3-D; taps are lane/sublane blocks
 
-        # 3a. Bilinear lerp, fully elementwise: horizontal over the BC
-        # column taps, vertical over the B band rows.
-        ux = plan.ux_off[:, :, None, :]
-        fxw = plan.fx[:, :, None, :]
-        # Fixed-order unrolled tap sum (BC is a small static): a reduce
-        # over the tap axis can be tiled/reassociated differently by the
-        # scan vs single-step programs, flipping .5-boundary u8 rounds
-        # and breaking step_many's scan-exactness contract.
-        g = jnp.zeros((n_sq, Qr, B, Qc), jnp.float32)
+        # 3a. Bilinear lerp with PRECOMPUTED weights (plan.hw/plan.vw) and
+        # static tap slices. Fixed-order unrolled sums (taps are small
+        # statics): a reduce over a tap axis can be tiled/reassociated
+        # differently by the scan vs single-step programs, flipping
+        # .5-boundary u8 rounds and breaking step_many's scan-exactness.
+        g = jnp.zeros((n_sq, B * Qr, Qc), jnp.float32)
         for c in range(BC):
-            whc = jnp.where(c == ux, 1.0 - fxw, 0.0) + jnp.where(
-                c == ux + 1, fxw, 0.0
-            )
-            g = g + cb[:, :, :, c, :] * whc
-    else:
-        # 2b. Per-row column-weight matmul (fallback for pathological
-        # shear where the shared column band would be too wide).
-        band = band.reshape(n_sq, Qr, B, RW)
-        v_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, Qr, RW, Qc), 2)
-        ci = plan.col_ix[:, :, None, :]
-        fxw = plan.fx[:, :, None, :]
-        colw = jnp.where(v_iota == ci, 1.0 - fxw, 0.0) + jnp.where(
-            v_iota == ci + 1, fxw, 0.0
-        )
-        g = jax.lax.dot_general(
-            band.reshape(n_sq * Qr, B, RW),
-            colw.reshape(n_sq * Qr, RW, Qc),
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(n_sq, Qr, B, Qc)
+            tap = jax.lax.slice(cb, (0, 0, c * Qc), (n_sq, B * Qr, (c + 1) * Qc))
+            g = g + tap * plan.hw[c]
+        out = jnp.zeros((n_sq, Qr, Qc), jnp.float32)
+        for b in range(B):
+            row = jax.lax.slice(g, (0, b * Qr, 0), (n_sq, (b + 1) * Qr, Qc))
+            out = out + row * plan.vw[b]
+        return jnp.where(plan.zero_mask, 0.0, out)
 
-    # 3. Vertical lerp over the band rows.
+    # 1b/2b. Per-row column-weight matmul (fallback for pathological
+    # shear where the shared column band would be too wide).
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, Qr, B, RH), 3)
+    want = plan.row_base[:, :, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (n_sq, Qr, B, RH), 2
+    )
+    rowsel = (rows_iota == want).astype(jnp.float32).reshape(n_sq, Qr * B, RH)
+    band = jax.lax.dot_general(
+        rowsel, regions, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (64, Qr*B, RW)
+    band = band.reshape(n_sq, Qr, B, RW)
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, Qr, RW, Qc), 2)
+    ci = plan.col_ix[:, :, None, :]
+    fxw = plan.fx[:, :, None, :]
+    colw = jnp.where(v_iota == ci, 1.0 - fxw, 0.0) + jnp.where(
+        v_iota == ci + 1, fxw, 0.0
+    )
+    g = jax.lax.dot_general(
+        band.reshape(n_sq * Qr, B, RW),
+        colw.reshape(n_sq * Qr, RW, Qc),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(n_sq, Qr, B, Qc)
+
+    # 3b. Vertical lerp over the band rows.
     b_iota = jax.lax.broadcasted_iota(jnp.int32, (n_sq, Qr, B, Qc), 2)
     uy = plan.uy_off[:, :, None, :]
     fyw = plan.fy[:, :, None, :]
