@@ -45,6 +45,43 @@ import jax.numpy as jnp
 from chessboard_vision_tpu.ops.canny import canny
 from chessboard_vision_tpu.ops.filters import sobel3
 
+# M-tile of the Pallas score matmul (rows of the unrolled basis per grid
+# step). 256x3200 bf16 = 1.6 MB/block — two pipeline buffers fit VMEM.
+_SCORE_MBLOCK = 256
+
+
+def _score_matmul_pallas(basis: jnp.ndarray, pf_t: jnp.ndarray) -> jnp.ndarray:
+    """(Mq, K) bf16 @ (K, 64) bf16 -> (Mq, 64) f32 as a plain Pallas matmul.
+
+    The TPU backend rewrites the XLA dot (the 64-square axis is a
+    too-small M/N) into a batch-in-lanes convolution whose emitter
+    re-lays-out the ~60 MB basis constant EVERY step (~92 us of pure
+    layout traffic at 1080p, vs ~50 us for the matmul itself). A trivial
+    Pallas matmul streams the basis once at HBM speed with no relayout.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Mq, K = basis.shape
+    N = pf_t.shape[1]
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[:] = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Mq // _SCORE_MBLOCK,),
+        in_specs=[
+            pl.BlockSpec((_SCORE_MBLOCK, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_SCORE_MBLOCK, N), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mq, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+    )(basis, pf_t)
+
 
 class ConvHoughDims(NamedTuple):
     """Static (python-int) shape parameters — passed as a static jit arg."""
@@ -73,9 +110,14 @@ class ConvHoughPlan(NamedTuple):
     r_max: jnp.ndarray  # (64,) f32 per-square max radius
     win_offset_y: jnp.ndarray  # (64,) i32 window top in square coords
     win_offset_x: jnp.ndarray  # (64,) i32
-    win_mask: jnp.ndarray  # (64, Wy, Wx) bool — centers within 30% of center
-    basis: jnp.ndarray  # (3*Hq*Wq, R*Yu*Xu) bf16 — ring kernels unrolled so
-    #   the whole accumulator is ONE MXU matmul (see find_circle)
+    win_mask: jnp.ndarray  # (Wy, Wx, 64) bool — centers within 30% of center
+    #   (square axis LAST to match the transposed score matmul)
+    basis: jnp.ndarray  # (R*Yu*Xu, 3*Hq*Wq) bf16 — ring kernels unrolled so
+    #   the whole accumulator is ONE MXU matmul (see find_circle). Stored
+    #   output-major: scores come out (R*Yu*Xu, 64). With the square axis
+    #   as M=64 the TPU backend rewrote the dot as a batch-in-lanes
+    #   convolution and re-laid-out this 60 MB constant EVERY step
+    #   (~92 us); output-major keeps it a plain MXU matmul.
 
     @classmethod
     def build(
@@ -178,9 +220,15 @@ class ConvHoughPlan(NamedTuple):
         t = t.reshape(2, R, Hq, Yu, Wq, Xu)
         t = t * vy[None, None, :, :, None, None]
         t = t * vx[None, None, None, None, :, :]
-        basis = np.ascontiguousarray(t.transpose(0, 2, 4, 1, 3, 5)).reshape(
-            2 * Hq * Wq, R * Yu * Xu
+        basis = np.ascontiguousarray(t.transpose(1, 3, 5, 0, 2, 4)).reshape(
+            R * Yu * Xu, 2 * Hq * Wq
         )
+        # Pad the output rows to the Pallas score-matmul M-block so the
+        # kernel grid divides exactly (pad rows are all-zero -> score 0,
+        # sliced off before the argmax).
+        MB = _SCORE_MBLOCK
+        Mq = -(-basis.shape[0] // MB) * MB
+        basis = np.pad(basis, ((0, Mq - basis.shape[0]), (0, 0)))
 
         plan = cls(
             kernels=jnp.asarray(kernels),
@@ -190,7 +238,7 @@ class ConvHoughPlan(NamedTuple):
             r_max=jnp.asarray(maxR.astype(np.float32)),
             win_offset_y=jnp.asarray(woy.astype(np.int32)),
             win_offset_x=jnp.asarray(wox.astype(np.int32)),
-            win_mask=jnp.asarray(mask),
+            win_mask=jnp.asarray(mask.transpose(1, 2, 0)),
             basis=jnp.asarray(basis, jnp.bfloat16),
         )
         dims = ConvHoughDims(
@@ -277,10 +325,20 @@ def find_circle(
     # voting backend in tests/test_hough_conv.py). This replaced an XLA
     # conv_general_dilated that ran at ~4% MXU utilization (1.4 ms/frame ->
     # ~50 us).
+    # Output-major orientation: scores land (R*Yu*Xu, 64) with the square
+    # axis in the lanes. M=9375 keeps this a plain MXU matmul; the
+    # square-major (M=64) orientation was rewritten by the backend into a
+    # batch-in-lanes convolution that re-laid-out the basis constant every
+    # step (~92 us of pure layout work at 1080p).
     pf = planes.reshape(n_sq, -1).astype(jnp.bfloat16)
-    score_u = jax.lax.dot(
-        pf, plan.basis, preferred_element_type=jnp.float32
-    ).reshape(n_sq, R, Yu, Xu)
+    if jax.default_backend() == "tpu":
+        score_m = _score_matmul_pallas(plan.basis, pf.T)
+    else:
+        score_m = jax.lax.dot_general(
+            plan.basis, pf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    score_u = score_m[: R * Yu * Xu].reshape(R, Yu, Xu, n_sq)
 
     if Yu == Wy and Xu == Wx:
         win = score_u  # all squares share one window (regular grid)
@@ -293,13 +351,17 @@ def find_circle(
                 (R, Wy, Wx),
             )
 
-        win = jax.vmap(take_window)(score_u, plan.win_offset_y, plan.win_offset_x)
-    valid = plan.r_valid[:, :, None, None] & plan.win_mask[:, None]
+        win = jax.vmap(take_window, in_axes=(-1, 0, 0), out_axes=-1)(
+            score_u, plan.win_offset_y, plan.win_offset_x
+        )
+    valid = plan.r_valid.T[:, None, None, :] & plan.win_mask[None]
     win = jnp.where(valid, win, -jnp.inf)
 
-    flat = win.reshape(n_sq, -1)
-    best = jnp.argmax(flat, axis=-1)
-    best_score = jnp.take_along_axis(flat, best[:, None], axis=-1)[:, 0]
+    # Flat index order (r-major, y, x) matches the square-major layout, so
+    # argmax tie-breaking is unchanged.
+    flat = win.reshape(-1, n_sq)
+    best = jnp.argmax(flat, axis=0)
+    best_score = jnp.max(flat, axis=0)
     ri = best // (Wy * Wx)
     rest = best % (Wy * Wx)
     by = rest // Wx

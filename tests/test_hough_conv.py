@@ -4,6 +4,8 @@ calibration (the 3-clip regression set at 77px squares) lives in
 tests/test_regression_clip.py::test_exact_vs_conv_backend_agreement."""
 
 import numpy as np
+import jax
+import pytest
 import jax.numpy as jnp
 
 from chessboard_vision_tpu.ops import hough as hough_ops
@@ -61,3 +63,23 @@ def test_conv_scores_separate_cleanly(rng):
     assert votes[32:].max() <= 25
     found = np.asarray(cc.found)
     assert found[:32].all() and not found[32:].any()
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="Mosaic kernel needs TPU")
+def test_score_matmul_pallas_matches_xla_dot(rng):
+    """TPU score path parity: the Pallas basis matmul vs the XLA dot it
+    replaces (same bf16 operands, f32 accumulation)."""
+    Mq, K = 2 * hc._SCORE_MBLOCK, 384
+    basis = jnp.asarray(
+        rng.standard_normal((Mq, K)).astype(np.float32), jnp.bfloat16
+    )
+    pf = jnp.asarray(rng.standard_normal((64, K)).astype(np.float32), jnp.bfloat16)
+    got = np.asarray(hc._score_matmul_pallas(basis, pf.T))
+    want = np.asarray(
+        jax.lax.dot_general(
+            basis, pf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    )
+    # bf16 products accumulated in f32; ordering may differ between the
+    # two lowerings — tolerance covers reassociation only.
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
