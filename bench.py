@@ -21,7 +21,7 @@ p50 — dominated by the host<->device round trip of this environment's
 TPU tunnel, not by device time).
 
 Flags: --dry (tiny shapes, CPU-friendly sanity run), --frames N,
---chunk K (frames per dispatch, default 16).
+--chunk K (frames per dispatch, default 64, scanned as nested 16-frame inner scans).
 """
 
 import argparse
@@ -84,7 +84,7 @@ def main():
     ap.add_argument("--passes", type=int, default=3,
                     help="measurement passes; the fastest is reported "
                     "(tunnel wall variance dwarfs device-time variance)")
-    ap.add_argument("--chunk", type=int, default=16, help="frames per device dispatch")
+    ap.add_argument("--chunk", type=int, default=64, help="frames per device dispatch (nested 16-scans past 16)")
     ap.add_argument("--streams", type=int, default=8, help="batched-stream secondary bench")
     ap.add_argument("--trace", default=None, help="capture a jax.profiler trace to this dir")
     args = ap.parse_args()

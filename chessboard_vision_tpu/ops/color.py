@@ -34,9 +34,16 @@ def bgr2gray(bgr: jnp.ndarray) -> jnp.ndarray:
 
 def planar_bgr2gray(planar: jnp.ndarray) -> jnp.ndarray:
     """Exact cv2.COLOR_BGR2GRAY for (..., 3, H, W) planar u8 frames (the
-    TPU-native frame layout)."""
-    x = planar.astype(jnp.int32)
-    b, g, r = x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]
+    TPU-native frame layout).
+
+    Channels are sliced BEFORE the i32 conversion: converting the whole
+    (..., 3, H, W) frame first made XLA materialize the full-resolution
+    s32 copy in the vmapped (multi-stream) program — 199 MB and ~385 us
+    per tick at 8x1080p — where slice-then-convert fuses to the u8 gray
+    output directly. Same integer arithmetic, bit-identical."""
+    b = planar[..., 0, :, :].astype(jnp.int32)
+    g = planar[..., 1, :, :].astype(jnp.int32)
+    r = planar[..., 2, :, :].astype(jnp.int32)
     y = (r * _R2Y + g * _G2Y + b * _B2Y + (1 << (_GRAY_SHIFT - 1))) >> _GRAY_SHIFT
     return y.astype(jnp.uint8)
 
