@@ -317,9 +317,16 @@ class VisionPipeline:
         # Post-move forced re-reference (reference game_session.py:221:
         # update_references + cache clear), applied with this frame's gray
         # inside the same XLA call so the noise FSM sees no phantom changes.
+        # refresh_refs: () scalar (whole-board refresh) or a per-square
+        # vector (the stream-folded batched pipeline, where each stream's
+        # 64 squares carry that stream's flag).
         p = state.piece
+        refresh_px = (
+            refresh_refs if jnp.ndim(refresh_refs) == 0
+            else refresh_refs[:, None, None]
+        )
         piece_in = p._replace(
-            ref_gray=jnp.where(refresh_refs, gray, p.ref_gray),
+            ref_gray=jnp.where(refresh_px, gray, p.ref_gray),
             has_ref=jnp.where(refresh_refs, True, p.has_ref),
             has_cache=jnp.where(refresh_refs, False, p.has_cache),
         )

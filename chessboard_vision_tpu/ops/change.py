@@ -31,14 +31,15 @@ class ChangeModelState(NamedTuple):
 
     means: jnp.ndarray  # (64, H, W) f32
     variances: jnp.ndarray  # (64, H, W) f32
-    calibrated: jnp.ndarray  # () bool
+    calibrated: jnp.ndarray  # (64,) bool (per-square, so the
+    #   stream-folded batched pipeline can merge the leading axes)
 
 
 def init_state(shape=(64, 77, 77)) -> ChangeModelState:
     return ChangeModelState(
         means=jnp.zeros(shape, jnp.float32),
         variances=jnp.zeros(shape, jnp.float32),
-        calibrated=jnp.asarray(False),
+        calibrated=jnp.zeros((shape[0],), bool),
     )
 
 
@@ -51,7 +52,7 @@ def calibrate(gray: jnp.ndarray, initial_variance: float) -> ChangeModelState:
     return ChangeModelState(
         means=g,
         variances=jnp.full(g.shape, jnp.float32(initial_variance)),
-        calibrated=jnp.asarray(True),
+        calibrated=jnp.ones((g.shape[0],), bool),
     )
 
 
@@ -110,7 +111,9 @@ def detect(
     # (change_detector.py:105-110); without it z = |g|/0 is inf/NaN and
     # every square reports a phantom TOTAL change.
     std = jnp.sqrt(jnp.maximum(state.variances, jnp.float32(1e-12)))
-    z = jnp.where(state.calibrated, jnp.abs(g - state.means) / std, 0.0)
+    z = jnp.where(
+        state.calibrated[:, None, None], jnp.abs(g - state.means) / std, 0.0
+    )
     changed = (z > jnp.float32(z_threshold)) & valid_mask
     ccount = jnp.sum(changed, axis=(-2, -1)).astype(jnp.int32)
     total = counts.astype(jnp.int32)

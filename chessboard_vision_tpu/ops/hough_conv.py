@@ -51,7 +51,7 @@ _SCORE_MBLOCK = 256
 
 
 def _score_matmul_pallas(basis: jnp.ndarray, pf_t: jnp.ndarray) -> jnp.ndarray:
-    """(Mq, K) bf16 @ (K, 64) bf16 -> (Mq, 64) f32 as a plain Pallas matmul.
+    """(Mq, K) bf16 @ (K, N) bf16 -> (Mq, N) f32 as a plain Pallas matmul.
 
     The TPU backend rewrites the XLA dot (the 64-square axis is a
     too-small M/N) into a batch-in-lanes convolution whose emitter
@@ -81,6 +81,42 @@ def _score_matmul_pallas(basis: jnp.ndarray, pf_t: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((Mq, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
     )(basis, pf_t)
+
+
+@jax.custom_batching.custom_vmap
+def _score_matmul_tpu(basis: jnp.ndarray, pf_t: jnp.ndarray) -> jnp.ndarray:
+    """Pallas score matmul with a stream-folding vmap rule.
+
+    Under jax.vmap (the batched N-stream pipeline,
+    parallel/multistream.py), the default pallas_call batching rule runs
+    the kernel once per stream — each call re-streaming the ~60 MB basis
+    from HBM (~8x82 us = 0.64 ms/tick at 8 streams, measured). The
+    columns of pf_t are independent, so the batched form instead folds
+    the stream axis into the column axis: ONE kernel call over
+    (K, S*64) reads the basis once and fills the MXU's 128 lanes
+    (bit-identical per column — each output column is the same
+    f32-accumulated dot regardless of its neighbors)."""
+    return _score_matmul_pallas(basis, pf_t)
+
+
+@_score_matmul_tpu.def_vmap
+def _score_matmul_tpu_vmap(axis_size, in_batched, basis, pf_t):
+    basis_b, pf_b = in_batched
+    if basis_b:
+        # Per-stream bases (stacked conv plans) can't share the stream:
+        # fall back to a sequential unroll of the primal (not a hot path;
+        # shared-geometry batching is the production configuration).
+        if not pf_b:
+            pf_t = jnp.broadcast_to(pf_t, (axis_size,) + pf_t.shape)
+        out = jnp.stack(
+            [_score_matmul_tpu(basis[i], pf_t[i]) for i in range(axis_size)]
+        )
+        return out, True
+    s, K, n = pf_t.shape  # batched axis is moved to dim 0 by custom_vmap
+    folded = jnp.moveaxis(pf_t, 0, 1).reshape(K, s * n)
+    out = _score_matmul_tpu(basis, folded)  # (Mq, s*n)
+    out = jnp.moveaxis(out.reshape(out.shape[0], s, n), 1, 0)
+    return out, True
 
 
 class ConvHoughDims(NamedTuple):
@@ -332,7 +368,7 @@ def find_circle(
     # step (~92 us of pure layout work at 1080p).
     pf = planes.reshape(n_sq, -1).astype(jnp.bfloat16)
     if jax.default_backend() == "tpu":
-        score_m = _score_matmul_pallas(plan.basis, pf.T)
+        score_m = _score_matmul_tpu(plan.basis, pf.T)
     else:
         score_m = jax.lax.dot_general(
             plan.basis, pf, (((1,), (1,)), ((), ())),

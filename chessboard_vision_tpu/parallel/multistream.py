@@ -27,8 +27,11 @@ import jax
 import jax.numpy as jnp
 
 from chessboard_vision_tpu.geometry import BoardGeometry
-from chessboard_vision_tpu.models.pipeline import VisionPipeline, PipelineState, StepOutputs
+from chessboard_vision_tpu.models.pipeline import (
+    StepConsts, VisionPipeline, PipelineState, StepOutputs,
+)
 from chessboard_vision_tpu.ops import fsm as fsm_ops
+from chessboard_vision_tpu.ops import piece as piece_ops
 from chessboard_vision_tpu.parallel import mesh as mesh_lib
 
 
@@ -101,41 +104,120 @@ class MultiStreamPipeline:
             self._plan_arrays = ()
             self._plan_dims = ()
 
-        def one_stream(state: MultiStreamState, frame, s2c_mask, s2c_given, refresh, consts):
-            pipe_state, out = self.pipe._step_impl(
-                state.pipe, frame, s2c_mask, s2c_given, refresh, consts
-            )
-            noise_state, noise_out = fsm_ops.noise_step(state.noise, out.visual_changes)
-            return MultiStreamState(pipe_state, noise_state), MultiStreamOutputs(out, noise_out)
+        # Stream-folded perception core: the geometry-independent half of
+        # the tick runs ONCE on (N*64, H, W) with per-square constants
+        # tiled N-fold, instead of vmapping the 64-square program per
+        # stream. The folded program is shape-identical to a single-stream
+        # step with more squares, so it inherits that program's measured
+        # layouts/fusions (the vmapped form put the stream axis in
+        # sublanes and fused ~35% worse — PERF.md round 3), and the Hough
+        # basis matmul reads its ~60 MB operand once for all streams.
+        # Bit-exact: every folded op is elementwise or a per-square
+        # reduction. The FSM keeps the per-stream (N, 64) view.
+        n64 = n_streams * 64
+        self._folded_consts = StepConsts(
+            dg=self.pipe._consts.dg._replace(
+                sq_mask=self._tile(self.pipe._consts.dg.sq_mask),
+                sq_counts=self._tile(self.pipe._consts.dg.sq_counts),
+                sq_heights=self._tile(self.pipe._consts.dg.sq_heights),
+                sq_widths=self._tile(self.pipe._consts.dg.sq_widths),
+            ),
+            masks=piece_ops.PieceMasks(
+                *[self._tile(leaf) for leaf in self.pipe._consts.masks]
+            ),
+            params=type(self.pipe._consts.params)(
+                *[self._tile(leaf) for leaf in self.pipe._consts.params]
+            ),
+            conv_plan=None if self.pipe._consts.conv_plan is None
+            else self.pipe._consts.conv_plan._replace(
+                r_valid=self._tile(self.pipe._consts.conv_plan.r_valid),
+                r_min=self._tile(self.pipe._consts.conv_plan.r_min),
+                r_max=self._tile(self.pipe._consts.conv_plan.r_max),
+                win_offset_y=self._tile(self.pipe._consts.conv_plan.win_offset_y),
+                win_offset_x=self._tile(self.pipe._consts.conv_plan.win_offset_x),
+                win_mask=jnp.tile(
+                    self.pipe._consts.conv_plan.win_mask, (1, 1, n_streams)
+                ),
+            ),
+            mm_plan=self.pipe._consts.mm_plan,
+        )
 
-        def one_core(state: MultiStreamState, gray, s2c_mask, s2c_given, refresh, consts):
+        def fold(x):  # (N, 64, ...) -> (N*64, ...)
+            return x.reshape((n64,) + x.shape[2:])
+
+        def unfold(x):  # (N*64, ...) -> (N, 64, ...)
+            return x.reshape((self.n_streams, 64) + x.shape[1:])
+
+        # Single-chip batched ticks run as a lax.scan over streams instead:
+        # each iteration is the single-stream program, whose (64, H, W)
+        # intermediates XLA keeps VMEM-resident (S(1) buffers at 1-5 TB/s
+        # effective — measured; the 8x-wider folded/vmapped program spills
+        # every canny/resample intermediate to HBM and runs ~1.6 ms/tick
+        # slower). On a mesh the folded SPMD form wins instead: scan would
+        # serialize the sharded stream axis, while each device's folded
+        # shard is small enough to stay VMEM-resident anyway.
+        def scan_streams(state, frames_or_gray, s2c_mask, s2c_given, refresh, consts, with_preprocess):
+            def body(_, xs):
+                pipe_st, noise_st, fr, m, g, r = xs
+                if with_preprocess:
+                    new_pipe, out = self.pipe._step_impl(pipe_st, fr, m, g, r, consts)
+                else:
+                    new_pipe, out = self.pipe._step_core(pipe_st, fr, m, g, r, consts)
+                new_noise, noise_out = fsm_ops.noise_step(noise_st, out.visual_changes)
+                return None, (new_pipe, new_noise, out, noise_out)
+
+            _, (pipe_s, noise_s, outs, nouts) = jax.lax.scan(
+                body, None,
+                (state.pipe, state.noise, frames_or_gray, s2c_mask, s2c_given, refresh),
+            )
+            return MultiStreamState(pipe_s, noise_s), MultiStreamOutputs(outs, nouts)
+
+        def core(state: MultiStreamState, gray, gray_cd, s2c_mask, s2c_given, refresh, fconsts):
             pipe_state, out = self.pipe._step_core(
-                state.pipe, gray, s2c_mask, s2c_given, refresh, consts
+                jax.tree.map(fold, state.pipe),
+                fold(gray),
+                s2c_mask.reshape(-1),
+                jnp.repeat(s2c_given, 64),
+                jnp.repeat(refresh, 64),
+                fconsts,
+                gray_change=None if gray_cd is None else fold(gray_cd),
             )
-            noise_state, noise_out = fsm_ops.noise_step(state.noise, out.visual_changes)
+            pipe_state = jax.tree.map(unfold, pipe_state)
+            out = jax.tree.map(unfold, out)
+            noise_state, noise_out = jax.vmap(fsm_ops.noise_step)(
+                state.noise, out.visual_changes
+            )
             return MultiStreamState(pipe_state, noise_state), MultiStreamOutputs(out, noise_out)
 
-        def step_fn(state, frames, s2c_mask, s2c_given, refresh, consts, plan_arrays):
+        def step_fn(state, frames, s2c_mask, s2c_given, refresh, consts, fconsts, plan_arrays):
             """One tick for all N streams; geometry handled per stream."""
             if self._stream_plans is None:
-                return jax.vmap(one_stream, in_axes=(0, 0, 0, 0, 0, None))(
-                    state, frames, s2c_mask, s2c_given, refresh, consts
+                if self.mesh is None:
+                    return scan_streams(
+                        state, frames, s2c_mask, s2c_given, refresh, consts, True
+                    )
+                gray, gray_cd = jax.vmap(self.pipe._preprocess, in_axes=(0, None))(
+                    frames, consts
                 )
-            gray = self._extract_squares_per_stream(frames, plan_arrays)
-            return jax.vmap(one_core, in_axes=(0, 0, 0, 0, 0, None))(
-                state, gray, s2c_mask, s2c_given, refresh, consts
-            )
+            else:
+                gray = self._extract_squares_per_stream(frames, plan_arrays)
+                gray_cd = None
+                if self.mesh is None:
+                    return scan_streams(
+                        state, gray, s2c_mask, s2c_given, refresh, consts, False
+                    )
+            return core(state, gray, gray_cd, s2c_mask, s2c_given, refresh, fconsts)
 
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
-        def chunk(state, frames, s2c_mask, s2c_given, refresh, consts, plan_arrays):
-            # lax.scan over T ticks of the vmapped step: one dispatch + one
+        def chunk(state, frames, s2c_mask, s2c_given, refresh, consts, fconsts, plan_arrays):
+            # lax.scan over T ticks of the folded step: one dispatch + one
             # small D2H per T x N frames (the same per-dispatch overhead
             # amortization as VisionPipeline.step_many, applied to the
             # batched configuration).
             def body(st, xs):
                 fr, m, g, r = xs
-                st, out = step_fn(st, fr, m, g, r, consts, plan_arrays)
+                st, out = step_fn(st, fr, m, g, r, consts, fconsts, plan_arrays)
                 return st, out
 
             return jax.lax.scan(body, state, (frames, s2c_mask, s2c_given, refresh))
@@ -152,6 +234,13 @@ class MultiStreamPipeline:
             return jax.vmap(self.pipe._capture_core)(state, gray)
 
         self._capture = jax.jit(capture_fn)
+
+    def _tile(self, x):
+        """(64, ...) per-square constant -> (N*64, ...), stream-major (the
+        fold order of jax.tree.map(fold, state): stream s, square q ->
+        s*64 + q)."""
+        x = jnp.asarray(x)
+        return jnp.tile(x, (self.n_streams,) + (1,) * (x.ndim - 1))
 
     def _extract_squares_per_stream(self, frames, plan_arrays):
         """(N, 3, Hf, Wf) planar frames -> (N, 64, H, W) preprocessed gray,
@@ -260,7 +349,7 @@ class MultiStreamPipeline:
             refresh = jnp.asarray(refresh)
         return self._step(
             state, frames, s2c_mask, s2c_given, refresh, self.pipe._consts,
-            self._plan_arrays,
+            self._folded_consts, self._plan_arrays,
         )
 
     def step_chunk(self, state: MultiStreamState, frames):
@@ -300,5 +389,5 @@ class MultiStreamPipeline:
         refreshes = jnp.zeros((t, n), bool)
         return self._step_chunk(
             state, frames, masks, givens, refreshes, self.pipe._consts,
-            self._plan_arrays,
+            self._folded_consts, self._plan_arrays,
         )
