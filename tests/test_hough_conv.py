@@ -83,3 +83,25 @@ def test_score_matmul_pallas_matches_xla_dot(rng):
     # bf16 products accumulated in f32; ordering may differ between the
     # two lowerings — tolerance covers reassociation only.
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="Mosaic kernel needs TPU")
+def test_score_matmul_vmap_fold_bitexact(rng):
+    """The custom_vmap stream-folding rule (one kernel call over the
+    folded (K, S*64) column block — parallel/multistream's batched tick)
+    is BIT-identical to per-stream kernel calls: each output column is
+    the same f32-accumulated dot regardless of its neighbors."""
+    Mq, K, S = 2 * hc._SCORE_MBLOCK, 384, 4
+    basis = jnp.asarray(
+        rng.standard_normal((Mq, K)).astype(np.float32), jnp.bfloat16
+    )
+    pf_t = jnp.asarray(
+        rng.standard_normal((S, K, 64)).astype(np.float32), jnp.bfloat16
+    )
+    per_stream = np.stack(
+        [np.asarray(hc._score_matmul_pallas(basis, pf_t[i])) for i in range(S)]
+    )
+    folded = np.asarray(
+        jax.jit(jax.vmap(hc._score_matmul_tpu, in_axes=(None, 0)))(basis, pf_t)
+    )
+    np.testing.assert_array_equal(per_stream, folded)
