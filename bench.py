@@ -160,8 +160,10 @@ def main():
         # Best of N passes: the tunnel-attached TPU shows +-40% wall
         # variance between runs from shared-host load; the fastest pass is
         # the one that reflects device throughput (device op time is
-        # stable across passes).
-        best = float("inf")
+        # stable across passes). The per-pass median is reported alongside
+        # in ``extras`` so the artifact carries the conservative estimator
+        # too.
+        samples = []
         total = n_ch * chunk_buffers[0].shape[0]
         for _pass in range(passes):
             n_fens[0] = 0
@@ -182,10 +184,13 @@ def main():
                 drain(occ_dev)
             wall = time.perf_counter() - t_start
             assert n_fens[0] == total
-            best = min(best, wall / total)
+            samples.append(wall / total)
             log(f"  {label} pass {_pass + 1}/{passes}: "
                 f"{wall / total * 1e3:.2f} ms/frame")
-        return st, best, fen[0]
+        extras.setdefault("pass_median_fps", {})[label] = round(
+            1.0 / float(np.median(samples)), 1
+        )
+        return st, min(samples), fen[0]
 
     same_chunk = jnp.asarray(
         np.broadcast_to(np.asarray(frame_dev), (K,) + frame_dev.shape).copy()

@@ -1,11 +1,22 @@
 """Batched N-stream pipeline with mesh sharding.
 
-The BASELINE north-star's batched configuration: N camera streams processed
-as one vmapped device program per frame-tick, with the stream axis sharded
-over the device mesh ("data") so streams scale across chips over ICI with
-zero cross-stream communication. The per-stream noise FSM runs on device
-(ops/fsm.py) so the whole tick — warp, detect, change-detect, FSM — is one
-XLA call; hosts only see per-stream occupancy + FSM events.
+The BASELINE north-star's batched configuration: N camera streams
+processed in one device dispatch per frame-tick, with the stream axis
+sharded over the device mesh ("data") so streams scale across chips over
+ICI with zero cross-stream communication. The per-stream noise FSM runs
+on device (ops/fsm.py) so the whole tick — warp, detect, change-detect,
+FSM — is one XLA call; hosts only see per-stream occupancy + FSM events.
+
+Two execution forms, chosen by mesh (PERF.md round 3):
+- single chip (mesh=None): lax.scan over streams — each iteration is the
+  single-stream program, whose (64, H, W) intermediates XLA keeps
+  VMEM-resident; batching the stream axis in front (vmap or fold) spills
+  the canny/resample chain to HBM and costs ~1.6 ms/tick at 8x1080p.
+- meshed: a stream-FOLDED core — state and per-square constants tiled to
+  (N*64, ...) so the perception core is shape-identical to a single-
+  stream step with more squares and shards over dp / dp x sp meshes
+  without serializing (a scan would serialize the sharded stream axis;
+  each device's folded shard is VMEM-sized anyway).
 
 Per-stream calibration: pass a LIST of N BoardGeometry objects (one per
 rig) instead of one. The geometry-dependent square extraction then runs
