@@ -126,7 +126,10 @@ class MultiStreamPipeline:
         # Bit-exact: every folded op is elementwise or a per-square
         # reduction. The FSM keeps the per-stream (N, 64) view.
         n64 = n_streams * 64
-        self._folded_consts = StepConsts(
+        # Only meshed runs use the folded core; the single-chip scan path
+        # never reads these, so skip the ~30 MB of tiled device constants
+        # (None is a valid empty-pytree jit argument).
+        self._folded_consts = None if mesh is None else StepConsts(
             dg=self.pipe._consts.dg._replace(
                 sq_mask=self._tile(self.pipe._consts.dg.sq_mask),
                 sq_counts=self._tile(self.pipe._consts.dg.sq_counts),
