@@ -160,6 +160,39 @@ class TestMultiStream:
         shard_devs = {d for s in jax.tree.leaves(state.pipe)[0].addressable_shards for d in [s.device]}
         assert len(shard_devs) == 8
 
+    def test_meshed_fold_bitexact_vs_meshless_scan(self, rng):
+        """The two batched execution forms (stream-folded SPMD core on a
+        mesh vs the single-chip scan over streams) produce bit-identical
+        outputs and state on distinct per-stream positions — guards the
+        fold's stream-major tiling of per-square constants."""
+        mesh = make_mesh(8, ("data",))
+        g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
+        n = 8
+        occs = []
+        for i in range(n):
+            occ = initial_occupancy()
+            if i % 2:
+                occ[4, 1] = False
+                occ[4, 3] = True
+            if i % 3 == 0:
+                occ[0, 0] = False
+            occs.append(occ)
+        f0 = np.stack([make_board_frame(o, rng) for o in occs])
+        f1 = np.stack([make_board_frame(o, rng) for o in occs])
+
+        results = []
+        for m in (mesh, None):
+            ms = MultiStreamPipeline(g, n_streams=n, mesh=m)
+            st = ms.capture_reference(ms.init_state(), f0)
+            st, out = ms.step(st, f1)
+            results.append((jax.tree.map(np.asarray, st),
+                            jax.tree.map(np.asarray, out)))
+        (st_m, out_m), (st_s, out_s) = results
+        for a, b in zip(jax.tree.leaves(out_m), jax.tree.leaves(out_s)):
+            assert np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(st_m), jax.tree.leaves(st_s)):
+            assert np.array_equal(a, b)
+
 
 class TestPerStreamChunkHWC:
     def test_step_chunk_accepts_hwc_in_per_stream_mode(self, rng):
