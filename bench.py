@@ -259,7 +259,7 @@ def main():
         mstate = ms.init_state()
         frames = jnp.asarray(np.broadcast_to(to_planar(frame), (n, 3, h, w)).copy())
         mstate = ms.capture_reference(mstate, frames)
-        T = max(2, K // 2)
+        T = max(2, K)
         chunk_frames = jnp.asarray(
             np.broadcast_to(np.asarray(frames), (T,) + frames.shape).copy()
         )
