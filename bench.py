@@ -71,6 +71,72 @@ def synth_frame(rng, h, w):
     return frame, (x0, y0, bs)
 
 
+_STAGE_OF = {
+    "ops/matmul_resample.py": "warp_extract",
+    "ops/warp.py": "warp_extract",
+    "ops/static_resample.py": "warp_extract",
+    "ops/filters.py": "preprocess",
+    "ops/color.py": "preprocess",
+    "ops/canny.py": "hough",
+    "ops/hough_conv.py": "hough",
+    "ops/hough.py": "hough",
+    "ops/piece.py": "piece_cascade",
+    "models/piece_detector.py": "piece_cascade",
+    "ops/change.py": "change_model",
+    "ops/fsm.py": "fsm",
+    "models/enhancer.py": "enhance",
+    "ops/enhance.py": "enhance",
+    "ops/pallas/bilateral.py": "enhance",
+    "ops/pallas/clahe_apply.py": "enhance",
+}
+
+
+def _per_stage_ms(trace_dir: str, iters: int) -> dict:
+    """Aggregate device-lane op durations from a jax.profiler trace by
+    pipeline stage (source-module attribution), ms per step."""
+    import glob as _glob
+    import gzip
+    from collections import defaultdict
+
+    paths = sorted(
+        _glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    )
+    if not paths:
+        return {}
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    pid_names = {}
+    for e in data["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {
+        p for p, nm in pid_names.items()
+        if "TPU" in nm or "/device" in nm.lower()
+    }
+    tot = defaultdict(float)
+    for e in data["traceEvents"]:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        a = e.get("args", {})
+        if not a.get("long_name"):
+            continue  # lane/module wrappers would double-count op time
+        src = a.get("source", "").rsplit(":", 1)[0]  # strip the :line
+        stage = "other"
+        for suffix, name in _STAGE_OF.items():
+            if src.endswith(suffix):
+                stage = name
+                break
+        # whole-module spans are attributed to the jit callsite
+        # (models/pipeline.py) — exclude them from the op sum
+        if src.endswith("models/pipeline.py"):
+            continue
+        tot[stage] += e.get("dur", 0) / 1e3
+    return {
+        k: round(v / iters, 4)
+        for k, v in sorted(tot.items(), key=lambda kv: -kv[1])
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry", action="store_true", help="tiny CPU-friendly run")
@@ -228,13 +294,31 @@ def main():
         f"fen={dist_fen.split()[0]}")
     extras["distinct_frames_fps"] = round(1.0 / dist_ms, 1)
 
-    if args.trace:
-        jax.profiler.start_trace(args.trace)
-        for _ in range(5):
-            state, out = pipe.step(state, frame_dev)
-        jax.block_until_ready(out)
-        jax.profiler.stop_trace()
-        log(f"trace written to {args.trace}")
+    # Per-stage device time (BASELINE secondary metric): a short
+    # jax.profiler trace of chained steps, device-lane op durations
+    # aggregated by source module into pipeline stages. Chained inputs are
+    # required — same-input loops get cached by this environment's tunnel
+    # and read up to 40x too fast (PERF.md "Measurement traps").
+    if not args.dry:
+        try:
+            import tempfile
+
+            tdir = args.trace or tempfile.mkdtemp(prefix="bench_trace_")
+            n_tr = 5
+            jax.profiler.start_trace(tdir)
+            for _ in range(n_tr):
+                state, out = pipe.step(state, frame_dev)
+            jax.block_until_ready(out)
+            jax.profiler.stop_trace()
+            stages = _per_stage_ms(tdir, n_tr)
+            if stages:
+                extras["per_stage_ms"] = stages
+                log("per-stage device ms (traced, mean of 5 chained steps): "
+                    + ", ".join(f"{k}={v}" for k, v in stages.items()))
+            if args.trace:
+                log(f"trace written to {args.trace}")
+        except Exception as e:
+            log(f"per-stage trace skipped: {e}")
 
     # strict per-frame sync latency (upper bound incl. host<->device RTT)
     times = []
