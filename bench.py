@@ -387,6 +387,21 @@ def main():
                 f"fen={efen.split()[0]}")
             extras["enhanced_fps"] = round(1.0 / ems, 1)
             extras["enhanced_vs_baseline"] = round(1.0 / ems / 500.0, 3)
+            import tempfile
+
+            # Trace the ALREADY-COMPILED chunk program (one call = K
+            # chained steps); compiling the per-frame enhanced step just
+            # for the trace costs ~90 s of Mosaic compiles.
+            etdir = tempfile.mkdtemp(prefix="bench_etrace_")
+            jax.profiler.start_trace(etdir)
+            estate, eouts = epipe.step_many(estate, same_chunk, inner_chunk=INNER)
+            jax.block_until_ready(eouts)
+            jax.profiler.stop_trace()
+            estages = _per_stage_ms(etdir, K)
+            if estages:
+                extras["per_stage_ms_enhanced"] = estages
+                log("enhanced per-stage device ms: "
+                    + ", ".join(f"{k}={v}" for k, v in estages.items()))
         except Exception as e:
             log(f"enhanced bench skipped: {e}")
 
