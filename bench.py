@@ -298,7 +298,16 @@ def main():
     # jax.profiler trace of chained steps, device-lane op durations
     # aggregated by source module into pipeline stages. Chained inputs are
     # required — same-input loops get cached by this environment's tunnel
-    # and read up to 40x too fast (PERF.md "Measurement traps").
+    # and read up to 40x too fast (PERF.md "Measurement traps"). Under
+    # --dry the stage aggregation is skipped (CPU lanes) but an explicit
+    # --trace dir is still honored.
+    if args.dry and args.trace:
+        jax.profiler.start_trace(args.trace)
+        for _ in range(5):
+            state, out = pipe.step(state, frame_dev)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        log(f"trace written to {args.trace}")
     if not args.dry:
         try:
             import tempfile

@@ -78,6 +78,38 @@ class StepOutputs(NamedTuple):
     # the corner mean normalizes out illumination (shadow/glare).
 
 
+def nested_scan(body, state, xs, length: int, inner: int = 16):
+    """lax.scan of ``body`` over ``xs``, nested as scans-of-``inner`` so no
+    FLAT scan reaches length >= 32 (which hangs this environment's remote
+    compiler — CLAUDE.md / PERF.md round-2 cont. 2). Semantically identical
+    to one flat scan: k = groups*inner + rem runs a scan-of-scans over the
+    groups and a short flat scan over the remainder, outputs concatenated.
+
+    Shared by VisionPipeline._steps_impl and MultiStreamPipeline's chunk so
+    the environment workaround lives in one place."""
+    k = length
+    if not inner or k <= inner:
+        return jax.lax.scan(body, state, xs)
+    groups, rem = divmod(k, inner)
+    head = jax.tree.map(lambda x: x[: k - rem], xs)
+
+    def regroup(x):
+        return x.reshape((groups, inner) + x.shape[1:])
+
+    def outer(st, xg):
+        return jax.lax.scan(body, st, xg)
+
+    state, outs = jax.lax.scan(outer, state, jax.tree.map(regroup, head))
+    outs = jax.tree.map(lambda x: x.reshape((k - rem,) + x.shape[2:]), outs)
+    if rem:
+        tail = jax.tree.map(lambda x: x[k - rem :], xs)
+        state, touts = jax.lax.scan(body, state, tail)
+        outs = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), outs, touts
+        )
+    return state, outs
+
+
 class VisionPipeline:
     """Compiled frame->occupancy pipeline for one calibration geometry.
 
@@ -403,10 +435,11 @@ class VisionPipeline:
         identical to K sequential step() calls — parity-tested in
         tests/test_pipeline_e2e.py.
 
-        inner_chunk > 0 nests the scan as (K // inner_chunk) x inner_chunk
-        (scan-of-scans). Semantically identical; exists because this
-        environment's remote compiler hangs on FLAT scans of length >= 32
-        while the nested form compiles like the inner length — K = 32 with
+        inner_chunk > 0 nests the scan as scans-of-inner_chunk (see
+        nested_scan — non-multiple K runs the remainder as a short flat
+        scan). Semantically identical; exists because this environment's
+        remote compiler hangs on FLAT scans of length >= 32 while the
+        nested form compiles like the inner length — K = 32 with
         inner_chunk = 16 halves the per-dispatch D2H-attach cost without
         tripping the hang (PERF.md round-2 cont. 2).
         """
@@ -422,21 +455,7 @@ class VisionPipeline:
             return st, out
 
         xs = (frames, s2c_masks, s2c_givens, refreshes)
-        k = frames.shape[0]
-        if inner_chunk and k > inner_chunk and k % inner_chunk == 0:
-            groups = k // inner_chunk
-
-            def regroup(x):
-                return x.reshape((groups, inner_chunk) + x.shape[1:])
-
-            def outer(st, xg):
-                return jax.lax.scan(body, st, xg)
-
-            state, outs = jax.lax.scan(outer, state, jax.tree.map(regroup, xs))
-            return state, jax.tree.map(
-                lambda x: x.reshape((k,) + x.shape[2:]), outs
-            )
-        return jax.lax.scan(body, state, xs)
+        return nested_scan(body, state, xs, frames.shape[0], inner_chunk)
 
     def _capture_impl(self, state: PipelineState, frame: jnp.ndarray,
                       consts: StepConsts) -> PipelineState:
@@ -524,6 +543,10 @@ class VisionPipeline:
             frames = np.stack([sr.to_planar(f) for f in frames])
         frames = jnp.asarray(frames)
         k = frames.shape[0]
+        if inner_chunk == 0 and k >= 32:
+            # Never emit a flat scan of length >= 32 (remote-compiler hang,
+            # CLAUDE.md); nested_scan handles non-multiple K.
+            inner_chunk = 16
         if squares_to_check is None:
             masks = jnp.zeros((k, 64), bool)
             givens = jnp.zeros((k,), bool)

@@ -63,9 +63,11 @@ def clahe(
         )
 
         # v3 = balanced-split one-hot matmul (bit-identical to v1,
-        # 477 -> 129 us at 984^2); needs th >= band (a band spans at most
-        # two tile rows). Tiny images (th < 8) keep v1.
-        if th >= 8:
+        # 477 -> 129 us at 984^2); its layout assumes 8x8 tiles and needs
+        # th >= band (a band spans at most two tile rows). Tiny images
+        # (th < 8) and explicit backend='pallas' with tiles != 8 keep the
+        # tiles-generic v1.
+        if th >= 8 and tiles == 8:
             hist = clahe_hist_pallas_v3(pad, th, tw, tiles, band=16 if th >= 16 else 8)
         else:
             hist = clahe_hist_pallas(pad, th, tw, tiles)

@@ -139,109 +139,10 @@ def clahe_hist_pallas(
     return out.T.astype(jnp.int32)  # (n_tiles, 256)
 
 
-@partial(jax.jit, static_argnames=("th", "tw", "tiles", "band"))
-def clahe_hist_pallas_v2(
-    pad_img: jnp.ndarray, th: int, tw: int, tiles: int, band: int = 16
-) -> jnp.ndarray:
-    """Nibble-factorized per-tile histograms: 2.5x less VMEM traffic.
-
-    v1 materializes a 256-wide value one-hot (256 + 64 = 320 bf16
-    values/pixel of VMEM write traffic). v2 splits the value v = 32*hi+lo
-    (hi in [0,32), lo in [0,8)) and fuses lo with the STATIC column-tile
-    index: per band it builds
-
-      A_g (32, P)  bf16  [hi one-hot, rows masked to tile-row group g]
-      B   (P, 64)  bf16  [(lo, txc) one-hot; txc = x // tw is static]
-
-    and accumulates A_g @ B into the (ty_g*32 .. +32) row block of a
-    (256, 64) output laid out as rows (ty, hi), cols (lo, txc). A band
-    spans at most two tile rows, so two masked A matmuls always suffice
-    (the second adds zeros when the band lies inside one tile row). Write
-    traffic: 2*32 + 64 = 128 bf16 values/pixel. Counts stay exact (0/1
-    bf16 products, f32 accumulation).
-
-    Requires th >= band (bands span <= 2 tile rows) and tiles == 8.
-    Returns (n_tiles, 256) i32, bit-identical to clahe_hist_pallas.
-    """
-    Hp, Wp = pad_img.shape
-    n_tiles = tiles * tiles
-    assert tiles == 8, "v2 layout assumes 8x8 tiles"
-    assert th >= band, "band must not span more than two tile rows"
-    Wq = ((Wp + 127) // 128) * 128
-    Hq = ((Hp + band - 1) // band) * band
-    x_pad = jnp.pad(pad_img, ((0, Hq - Hp), (0, Wq - Wp)))
-    grid = Hq // band
-    P = band * Wq
-
-    def kernel(x_ref, out_ref):
-        i = pl.program_id(0)
-        ty_lo = (i * band) // th
-        ty_hi = (i * band + band - 1) // th
-        ty0c = jnp.minimum(ty_lo, tiles - 1)
-        ty1c = jnp.minimum(ty_hi, tiles - 1)
-
-        def body(a0_ref, a1_ref, b_ref):
-            vals = x_ref[:].astype(jnp.int32)  # (band, Wq)
-            hibin = jax.lax.broadcasted_iota(jnp.int32, (32, Wq), 0)
-            xs = jax.lax.broadcasted_iota(jnp.int32, (Wq, 1), 0)
-            # Static column-tile index; padded columns (x >= Wp) get a
-            # sentinel so lo*8+txc matches no B column.
-            txc = jnp.where(xs < Wp, xs // tw, jnp.int32(1 << 20))
-            bbin = jax.lax.broadcasted_iota(jnp.int32, (Wq, 64), 1)
-            for r in range(band):
-                hi = vals[r : r + 1, :] >> 3  # (1, Wq)
-                lo = vals[r : r + 1, :] & 7
-                oh = (hibin == hi).astype(jnp.bfloat16)  # (32, Wq)
-                ty_r = (i * band + r) // th
-                in_img = ty_r < tiles  # Hq-padding rows count nowhere
-                g0 = jnp.logical_and(ty_r == ty0c, in_img)
-                g1 = jnp.logical_and(
-                    jnp.logical_and(ty_r == ty1c, ty1c != ty0c), in_img
-                )
-                a0_ref[:, r * Wq : (r + 1) * Wq] = jnp.where(g0, oh, 0)
-                a1_ref[:, r * Wq : (r + 1) * Wq] = jnp.where(g1, oh, 0)
-                b_ref[r * Wq : (r + 1) * Wq, :] = (
-                    bbin == (lo.T * 8 + txc)
-                ).astype(jnp.bfloat16)
-
-            part0 = jnp.dot(
-                a0_ref[:], b_ref[:], preferred_element_type=jnp.float32
-            )  # (32, 64)
-            part1 = jnp.dot(
-                a1_ref[:], b_ref[:], preferred_element_type=jnp.float32
-            )
-
-            @pl.when(i == 0)
-            def _():
-                out_ref[:] = jnp.zeros_like(out_ref)
-
-            r0 = pl.ds(pl.multiple_of(ty0c * 32, 8), 32)
-            out_ref[r0, :] = out_ref[r0, :] + part0
-            r1 = pl.ds(pl.multiple_of(ty1c * 32, 8), 32)
-            out_ref[r1, :] = out_ref[r1, :] + part1
-
-        pl.run_scoped(
-            body,
-            a0_ref=pltpu.VMEM((32, P), jnp.bfloat16),
-            a1_ref=pltpu.VMEM((32, P), jnp.bfloat16),
-            b_ref=pltpu.VMEM((P, 64), jnp.bfloat16),
-        )
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((band, Wq), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((256, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((256, 64), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
-    )(x_pad)
-    # rows (ty, hi), cols (lo, txc) -> hist[t = ty*8+txc, v = hi*8+lo]
-    out = out.reshape(tiles, 32, 8, tiles)  # [ty, hi, lo, txc]
-    out = out.transpose(0, 3, 1, 2).reshape(n_tiles, 256)
-    return out.astype(jnp.int32)
-
+# A v2 kernel (nibble-factorized 32x8 value split) lived here between v1
+# and v3; it measured SLOWER than v1 — its (P, 64) membership operand
+# forced a per-row lane->sublane relayout — and was removed. v3's
+# balanced 64/64 split with both operands (64, P) is the live fast path.
 
 @partial(jax.jit, static_argnames=("th", "tw", "tiles", "band"))
 def clahe_hist_pallas_v3(

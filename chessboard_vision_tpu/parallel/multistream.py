@@ -225,34 +225,20 @@ class MultiStreamPipeline:
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
         def chunk(state, frames, s2c_mask, s2c_given, refresh, consts, fconsts, plan_arrays):
-            # lax.scan over T ticks of the batched step: one dispatch + one
+            # Scan over T ticks of the batched step: one dispatch + one
             # small D2H per T x N frames (the same per-dispatch overhead
             # amortization as VisionPipeline.step_many, applied to the
-            # batched configuration). T >= 32 nests as scan-of-16s — flat
-            # scans of that length hang this environment's remote compiler
-            # (models/pipeline._steps_impl has the same guard).
+            # batched configuration). nested_scan keeps every flat scan
+            # under length 32 (remote-compiler hang, CLAUDE.md).
             def body(st, xs):
                 fr, m, g, r = xs
                 st, out = step_fn(st, fr, m, g, r, consts, fconsts, plan_arrays)
                 return st, out
 
+            from chessboard_vision_tpu.models.pipeline import nested_scan
+
             xs = (frames, s2c_mask, s2c_given, refresh)
-            t = frames.shape[0]
-            inner = 16
-            if t >= 2 * inner and t % inner == 0:
-                groups = t // inner
-
-                def regroup(x):
-                    return x.reshape((groups, inner) + x.shape[1:])
-
-                def outer(st, xg):
-                    return jax.lax.scan(body, st, xg)
-
-                state, outs = jax.lax.scan(outer, state, jax.tree.map(regroup, xs))
-                return state, jax.tree.map(
-                    lambda x: x.reshape((t,) + x.shape[2:]), outs
-                )
-            return jax.lax.scan(body, state, xs)
+            return nested_scan(body, state, xs, frames.shape[0])
 
         self._step_chunk = jax.jit(chunk, donate_argnums=(0,))
 

@@ -222,6 +222,38 @@ def test_step_many_nested_scan_matches_flat(rng):
         assert np.array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_step_many_nested_scan_remainder(rng):
+    """Non-multiple chunk lengths run the nested scan plus a short flat
+    remainder scan (nested_scan), bit-identical to the flat form — the
+    guard that K=40-style chunks never fall back to a flat scan >= 32
+    (which hangs this environment's remote compiler)."""
+    import jax
+    import jax.numpy as jnp
+    from chessboard_vision_tpu.ops import static_resample as sr
+
+    g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
+    pipe = VisionPipeline(g, donate_state=False)
+    occ = initial_occupancy()
+    f0 = make_board_frame(occ, rng)
+    state_flat = pipe.capture_reference(pipe.init_state(), f0)
+    state_nest = jax.tree.map(lambda x: x.copy(), state_flat)
+
+    frames = [make_board_frame(occ, rng) for _ in range(5)]
+    planar = jnp.asarray(np.stack([sr.to_planar(f) for f in frames]))
+
+    state_flat, outs_flat = pipe.step_many(state_flat, planar)
+    # 5 = 2 + 2 + 1: two inner groups and a 1-frame remainder
+    state_nest, outs_nest = pipe.step_many(state_nest, planar, inner_chunk=2)
+
+    for field in outs_flat._fields:
+        assert np.array_equal(
+            np.asarray(getattr(outs_flat, field)),
+            np.asarray(getattr(outs_nest, field)),
+        ), field
+    for la, lb in zip(jax.tree.leaves(state_flat), jax.tree.leaves(state_nest)):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_flipped_orientation(rng):
     """orientation_flipped geometry reports the same logical occupancy for a
     180-rotated physical setup."""
