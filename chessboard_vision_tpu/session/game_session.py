@@ -126,17 +126,30 @@ class GameSession:
                 from chessboard_vision_tpu.utils.config import COLOR_PROFILE_FILE
 
                 enhancer_profile = load_json_config(COLOR_PROFILE_FILE)
-        self.pipeline = VisionPipeline(
-            geometry,
+        self._pipeline_kwargs = dict(
             piece_settings=piece_settings,
             change_settings=change_settings,
             with_enhancer=use_enhancer,
             enhancer_profile=enhancer_profile,
         )
+        self.pipeline = VisionPipeline(geometry, **self._pipeline_kwargs)
         self.pipe_state = self.pipeline.init_state()
         self.game = GameState()
         self.noise = NoiseHandler()
         self.status = self.STATE_IDLE
+        # "auto_recalibrate": true — periodic drift check + self-healing
+        # re-calibration (session/drift.py; beyond reference scope, which
+        # only offers the manual 'c' re-reference).
+        self.drift = None
+        self.drift_check_interval = int(config.get("drift_check_interval", 300))
+        if config.get("auto_recalibrate", False):
+            from chessboard_vision_tpu.session.drift import DriftMonitor
+
+            self.drift = DriftMonitor(
+                np.asarray(config["corners"], np.float64).reshape(4, 2),
+                threshold_px=float(config.get("drift_threshold_px", 4.0)),
+                confirm=int(config.get("drift_confirm_checks", 2)),
+            )
 
     def capture_reference(self, cap, warmup: int = 10):
         """Capture the initial visual reference (reference game_session.py:93)."""
@@ -149,6 +162,10 @@ class GameSession:
     def capture_reference_frame(self, img: np.ndarray):
         self.pipe_state = self.pipeline.capture_reference(self.pipe_state, img)
         self.status = self.STATE_IDLE
+        if self.drift is not None:
+            # Seed the drift baseline from the calibration-time frame, so a
+            # bump before the first periodic check is still caught.
+            self.drift.check(img)
         self.log.info("reference captured; game ready")
 
     # -- per-frame hot path ----------------------------------------------
@@ -193,6 +210,21 @@ class GameSession:
         self._update_radar_ui(vision_occupied)
         self._track_radii(vision_occupied, out)
         move = self._process_stable_move(vision_occupied, noise_state)
+
+        # Periodic calibration-drift check (auto_recalibrate config key),
+        # off the hot path (every drift_check_interval frames). NOT gated
+        # on the noise FSM: a real bump keeps the FSM permanently
+        # NOISE_ACTIVE (the shifted content never settles), which would
+        # deadlock the very check that heals it; hand occlusion is handled
+        # by the monitor's own gates (board-not-found / unstable
+        # detections never confirm — session/drift.py).
+        if (
+            self.drift is not None
+            and self.frame_count % self.drift_check_interval == 0
+        ):
+            new_corners = self.drift.check(img)
+            if new_corners is not None:
+                self._recalibrate(new_corners, img)
 
         if not self.headless:
             self._draw_interface(img, noise_state)
@@ -241,6 +273,30 @@ class GameSession:
                             "move %s became illegal before push", move.uci()
                         )
         return None
+
+    def _recalibrate(self, corners: np.ndarray, frame: np.ndarray):
+        """Rebuild geometry + pipeline around shifted corners, mid-game.
+
+        Unlike configure(), the GAME is preserved: only the vision side is
+        rebuilt (new resample plans from the new homography — plan arrays
+        are jit arguments, so unchanged grid structure reuses the compiled
+        step), visual references are re-captured from the current frame,
+        and the stability/noise gates reset so no phantom move commits
+        across the recalibration boundary. Smart-grid refinement lines are
+        kept: they live in warped-board space, which the new homography
+        still maps the same physical board onto."""
+        with self.board_lock:
+            self.config["corners"] = np.asarray(corners).astype(int).tolist()
+            geometry = geo.BoardGeometry.from_config(self.config)
+            self.pipeline = VisionPipeline(geometry, **self._pipeline_kwargs)
+            self.pipe_state = self.pipeline.init_state()
+            self.pipe_state = self.pipeline.capture_reference(self.pipe_state, frame)
+            self.noise.reset()
+            self.stable_count = 0
+            self.stable_occupancy = None
+            self._radius_window.clear()
+            self._refresh_next = False
+            self.log.warning("auto-recalibrated to shifted corners; game preserved")
 
     def _refresh_references(self):
         """Schedule a forced visual re-reference after a committed move
