@@ -45,6 +45,9 @@ class GameSession:
     def __init__(self, headless: bool = False, compat_visual_rank_quirk: bool = False):
         self.status = self.STATE_IDLE
         self.config: Optional[dict] = None
+        # Keys merged over any calibration config at configure() time —
+        # the CLI drivers' hook for flags like --auto-recalibrate.
+        self.default_config_overrides: dict = {}
         self.board_lock = threading.RLock()
         self.headless = headless
         # Reference quirk (game_session.py:151-154): legal-move destinations
@@ -102,6 +105,8 @@ class GameSession:
 
     def configure(self, config: dict):
         """Build the pipeline and control-plane components from calibration."""
+        if self.default_config_overrides:
+            config = {**config, **self.default_config_overrides}
         self.config = config
         self.player_color = config.get("player_color")
         self.orientation_flipped = config.get("orientation_flipped", False)

@@ -35,6 +35,11 @@ def main(argv=None):
                     "reference capture)")
     ap.add_argument("--checkpoint", default="session_checkpoint.npz",
                     metavar="CKPT", help="path the 'k' key saves to")
+    ap.add_argument("--auto-recalibrate", action="store_true",
+                    help="detect camera bumps (periodic corner "
+                    "re-detection) and rebuild geometry mid-game "
+                    "(session/drift.py); same as \"auto_recalibrate\": "
+                    "true in calibration.json")
     args = ap.parse_args(argv)
 
     cap = cv2.VideoCapture(args.camera)
@@ -45,6 +50,8 @@ def main(argv=None):
         return 1
 
     session = LichessSession()
+    if args.auto_recalibrate:
+        session.default_config_overrides = {"auto_recalibrate": True}
     if args.resume:
         session.resume_checkpoint(args.resume)
         print(f"resumed from {args.resume}: {session.game.get_fen()}")
