@@ -307,6 +307,10 @@ class BoardGeometry:
     squares: SquareMaps = field(repr=False)
     src_w: int = 1280  # camera frame width
     src_h: int = 720
+    # Calibration corners (TL, TR, BL, BR) this geometry was built from;
+    # kept so sessions can rebuild a shifted geometry (auto-recalibration,
+    # session/drift.py) without re-threading the calibration config.
+    src_corners: Optional[np.ndarray] = None
 
     def square_query_coords(self):
         """Source-frame coords for every padded square pixel: the composed
@@ -367,7 +371,24 @@ class BoardGeometry:
             squares=sq,
             src_w=display_size[0],
             src_h=display_size[1],
+            src_corners=np.asarray(pts).reshape(4, 2).astype(np.float64),
         )
+
+    def with_corners(self, corners) -> "BoardGeometry":
+        """Rebuild this geometry around shifted calibration corners,
+        keeping display size, orientation, smart-grid lines, and blur pad
+        (auto-recalibration path — the grid structure is unchanged, so
+        resample-plan static dims and compiled programs stay valid)."""
+        g = type(self).from_calibration(
+            corners,
+            display_size=(self.src_w, self.src_h),
+            orientation_flipped=self.orientation_flipped,
+            grid_lines_x=self.grid_x,
+            grid_lines_y=self.grid_y,
+            blur_pad=self.squares.pad,
+        )
+        assert g.board_size == self.board_size, "grid structure must be preserved"
+        return g
 
     @classmethod
     def from_config(cls, config: dict, **kw) -> "BoardGeometry":

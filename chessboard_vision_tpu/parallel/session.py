@@ -47,18 +47,85 @@ class MultiStreamSession:
         n_streams: int,
         mesh=None,
         on_move_detected: Optional[Callable[[int, "chess.Move"], bool]] = None,
+        auto_recalibrate: bool = False,
+        drift_check_interval: int = 300,
+        drift_threshold_px: float = 4.0,
+        drift_confirm: int = 2,
         **pipeline_kw,
     ):
         self.n = n_streams
+        if isinstance(geometry, (list, tuple)):
+            self.geometries = list(geometry)
+        else:
+            self.geometries = [geometry] * n_streams
+        self._mesh = mesh
+        self._pipeline_kw = dict(pipeline_kw)
         self.ms = MultiStreamPipeline(geometry, n_streams=n_streams, mesh=mesh, **pipeline_kw)
         self.state = self.ms.init_state()
         self.streams = [_StreamState() for _ in range(n_streams)]
         self.frame_count = 0
         self.on_move_detected = on_move_detected or (lambda i, m: True)
         self.log = get_logger("msession")
+        # Per-rig drift monitors (auto-recalibration — session/drift.py).
+        # A confirmed camera bump on any rig rebuilds the batched pipeline
+        # with that rig's shifted geometry (per-stream-geometry mode), all
+        # game states preserved.
+        self.drift_check_interval = int(drift_check_interval)
+        self.drift = None
+        if auto_recalibrate:
+            from chessboard_vision_tpu.session.drift import DriftMonitor
+
+            self.drift = [
+                DriftMonitor(
+                    g.src_corners,
+                    threshold_px=drift_threshold_px,
+                    confirm=drift_confirm,
+                )
+                for g in self.geometries
+            ]
 
     def capture_reference(self, frames):
         self.state = self.ms.capture_reference(self.state, frames)
+        if self.drift is not None:
+            for mon, frame in zip(self.drift, self._hwc_frames(frames)):
+                mon.check(frame)  # seed each rig's detection baseline
+
+    @staticmethod
+    def _hwc_frames(frames) -> np.ndarray:
+        """(N, H, W, 3) host frames for the cv2-based drift detector,
+        from either the HWC or planar (N, 3, H, W) layout."""
+        arr = np.asarray(frames)
+        if arr.ndim == 4 and arr.shape[1] == 3 and arr.shape[-1] != 3:
+            arr = np.moveaxis(arr, 1, -1)
+        return arr
+
+    def _check_drift(self, frames):
+        hwc = None
+        for i, mon in enumerate(self.drift):
+            if hwc is None:
+                hwc = self._hwc_frames(frames)
+            new_corners = mon.check(hwc[i])
+            if new_corners is None:
+                continue
+            self.geometries[i] = self.geometries[i].with_corners(new_corners)
+            self.log.warning(
+                "stream %d auto-recalibrating to shifted corners", i
+            )
+            # Rebuild in per-stream-geometry mode (shared grid structure,
+            # so resample-plan static dims — and compiled programs keyed
+            # on them — are unchanged); re-capture visual references for
+            # every rig from the live frames; games are host state and
+            # survive untouched.
+            self.ms = MultiStreamPipeline(
+                self.geometries, n_streams=self.n, mesh=self._mesh,
+                **self._pipeline_kw,
+            )
+            self.state = self.ms.init_state()
+            self.state = self.ms.capture_reference(self.state, frames)
+            for st in self.streams:
+                st.stable_count = 0
+                st.stable_occupancy = None
+                st.refresh_next = False
 
     def _smart_scan_mask(self, st: _StreamState) -> np.ndarray:
         squares = set(st.game.get_board_occupancy())
@@ -76,6 +143,12 @@ class MultiStreamSession:
         refresh = np.array([st.refresh_next for st in self.streams])
         for st in self.streams:
             st.refresh_next = False
+
+        if (
+            self.drift is not None
+            and self.frame_count % self.drift_check_interval == 0
+        ):
+            self._check_drift(frames)
 
         self.state, out = self.ms.step(self.state, frames, s2c_masks=s2c, refresh=refresh)
 

@@ -105,3 +105,49 @@ class TestSessionAutoRecalibration:
             ) or move
         assert move is not None and move.uci() == "e2e4"
         assert session.game.board.fullmove_number >= 1
+
+
+class TestMultiStreamAutoRecalibration:
+    def test_one_rig_bumped_other_keeps_playing(self):
+        """Stream 0's camera gets bumped; the batched session rebuilds in
+        per-stream-geometry mode and BOTH streams then commit moves at
+        their (new/old) corners — games preserved across the rebuild."""
+        from chessboard_vision_tpu import geometry as geo
+        from chessboard_vision_tpu.parallel.session import MultiStreamSession
+
+        rng = np.random.default_rng(6)
+        g = geo.BoardGeometry.from_calibration(np.asarray(DEFAULT_CORNERS))
+        sess = MultiStreamSession(
+            g, n_streams=2,
+            auto_recalibrate=True, drift_check_interval=4, drift_confirm=2,
+        )
+        sess.STABILITY_REQUIRED = 4
+        sess.MOVE_COOLDOWN = 0.0
+
+        occ = initial_occupancy()
+        def frames(occ0, occ1, c0=DEFAULT_CORNERS, c1=DEFAULT_CORNERS):
+            return np.stack([
+                make_board_frame(occ0, rng, corners=c0),
+                make_board_frame(occ1, rng, corners=c1),
+            ])
+
+        sess.capture_reference(frames(occ, occ))
+        for _ in range(5):
+            assert sess.on_frames(frames(occ, occ)) == [None, None]
+
+        bumped = np.asarray(DEFAULT_CORNERS, np.float64) + BUMP
+        for _ in range(10):  # >= 2 drift checks at interval 4
+            sess.on_frames(frames(occ, occ, c0=bumped))
+        assert sess.ms._stream_plans is not None, "no per-stream rebuild"
+        got = np.asarray(sess.geometries[0].src_corners, np.float64)
+        assert np.abs(got - bumped).max() <= 2.0
+
+        # both streams play e2e4 at their current corners
+        occ_after = occ.copy()
+        occ_after[4, 1] = False
+        occ_after[4, 3] = True
+        committed = [None, None]
+        for _ in range(14):
+            moves = sess.on_frames(frames(occ_after, occ_after, c0=bumped))
+            committed = [m or c for m, c in zip(moves, committed)]
+        assert [m and m.uci() for m in committed] == ["e2e4", "e2e4"]
