@@ -194,3 +194,69 @@ class MultiStreamSession:
         # Shared with GameSession (castling-first, pair-match, capture
         # scan) — see session/inference.py.
         return infer_move_from_diff(st.game, missing, extra, vision, log=self.log)
+
+    # -- checkpoint / resume ----------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        """Snapshot all N games mid-play: the batched device state (visual
+        references, EMA models, detection history, device noise FSM — one
+        pytree with leading (N,) axes) plus per-stream host rule state.
+        The GameSession equivalent is session/game_session.save_checkpoint;
+        this is its batched twin."""
+        from chessboard_vision_tpu.utils.checkpoint import save_tree
+
+        meta = {
+            "n": self.n,
+            "frame_count": self.frame_count,
+            "streams": [
+                {
+                    "fen": st.game.get_fen(),
+                    "stable_count": st.stable_count,
+                    "stable_occupancy": (
+                        sorted(st.stable_occupancy)
+                        if st.stable_occupancy is not None
+                        else None
+                    ),
+                    "refresh_next": st.refresh_next,
+                }
+                for st in self.streams
+            ],
+            "corners": [
+                None if g.src_corners is None else np.asarray(g.src_corners).tolist()
+                for g in self.geometries
+            ],
+        }
+        save_tree(path, self.state, meta)
+        self.log.info("multi-stream checkpoint saved: %s", path)
+
+    def resume_checkpoint(self, path: str) -> dict:
+        """Restore a save_checkpoint snapshot into this (already
+        constructed, same-geometry) session: device pytree + every
+        stream's game/stability state. Returns the checkpoint meta."""
+        import json as _json
+
+        from chessboard_vision_tpu.utils.checkpoint import load_tree
+
+        with np.load(path) as data:  # peek n before shaping the template
+            n_ckpt = _json.loads(
+                bytes(data["__meta__"].tobytes()).decode("utf-8")
+            )["n"]
+        if n_ckpt != self.n:
+            raise ValueError(
+                f"checkpoint has {n_ckpt} streams; this session has {self.n}"
+            )
+        state, meta = load_tree(path, self.ms.init_state())
+        self.state = state
+        self.frame_count = meta["frame_count"]
+        for st, m in zip(self.streams, meta["streams"]):
+            st.game.set_fen(m["fen"])
+            st.stable_count = m["stable_count"]
+            st.stable_occupancy = (
+                set(map(tuple, m["stable_occupancy"]))
+                if m["stable_occupancy"] is not None
+                else None
+            )
+            st.refresh_next = m["refresh_next"]
+            st.last_move_time = 0.0
+        self.log.info("multi-stream checkpoint resumed: %s", path)
+        return meta

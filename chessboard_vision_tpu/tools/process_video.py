@@ -126,6 +126,9 @@ def main(argv=None):
                     help="process every Nth frame (reference SKIP_FRAMES)")
     ap.add_argument("--out", default=None, help="JSONL timeline output path")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--auto-recalibrate", action="store_true",
+                    help="detect mid-footage camera bumps and rebuild "
+                    "geometry (session/drift.py)")
     args = ap.parse_args(argv)
 
     if args.corners:
@@ -142,6 +145,8 @@ def main(argv=None):
             print(f"no calibration at {args.calibration}; pass --corners", file=sys.stderr)
             return 2
 
+    if args.auto_recalibrate:
+        config = {**config, "auto_recalibrate": True}
     moves, fen, n = run(
         args.video, config, skip_frames=args.skip_frames,
         out_path=args.out, max_frames=args.max_frames,
