@@ -7,6 +7,7 @@ same API surface the vision stack needs.
 
 from chessboard_vision_tpu.rules import chesslib as chess
 from chessboard_vision_tpu.rules.game_state import GameState
+from chessboard_vision_tpu.rules.pgn import game_to_pgn, san
 from chessboard_vision_tpu.rules.fen import (
     PIECE_TO_FEN,
     get_chess_square,
@@ -27,4 +28,6 @@ __all__ = [
     "occupancy_to_fen",
     "classify_piece_colors",
     "occupancy_to_colored_fen",
+    "game_to_pgn",
+    "san",
 ]

@@ -1,0 +1,162 @@
+"""PGN export: digitized games as Standard Algebraic Notation movetext.
+
+Beyond reference scope — the reference emits only console prints and the
+live Lichess game (game_session.py:209,225); its users leave a session
+with no portable record. Here any UCI move sequence (a finished
+GameSession, a tools/process_video timeline, a MultiStreamSession stream)
+serializes to a PGN file importable by every chess tool.
+
+SAN generation follows the PGN standard (export format): piece letter,
+minimal disambiguation (file first, then rank, then both), 'x' for
+captures (pawn captures keep the origin file), '=Q' promotions, castling
+as O-O / O-O-O, '+'/'#' suffixes. Built on the in-framework rules engine
+(rules/chesslib.py) — python-chess is not a dependency.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from chessboard_vision_tpu.rules import chesslib as chess
+from chessboard_vision_tpu.rules.chesslib import (
+    Board, Move, PAWN, KING, PIECE_SYMBOLS,
+    square_file, square_rank, square_name,
+)
+
+_FILES = "abcdefgh"
+_RANKS = "12345678"
+
+
+def san(board: Board, move: Move) -> str:
+    """SAN for a legal ``move`` in ``board``'s position (board unchanged)."""
+    piece = board.piece_at(move.from_square)
+    if piece is None:
+        raise ValueError(f"no piece on {square_name(move.from_square)}")
+
+    if board.is_castling(move):
+        body = "O-O" if square_file(move.to_square) > square_file(move.from_square) else "O-O-O"
+    else:
+        capture = board.is_capture(move)
+        if piece.piece_type == PAWN:
+            body = _FILES[square_file(move.from_square)] + "x" if capture else ""
+            body += square_name(move.to_square)
+            if move.promotion:
+                body += "=" + PIECE_SYMBOLS[move.promotion].upper()
+        else:
+            body = PIECE_SYMBOLS[piece.piece_type].upper()
+            body += _disambiguation(board, move, piece.piece_type)
+            if capture:
+                body += "x"
+            body += square_name(move.to_square)
+
+    board.push(move)
+    try:
+        if not list(board.legal_moves):
+            if board.is_check():
+                body += "#"
+            # stalemate: no suffix (PGN standard)
+        elif board.is_check():
+            body += "+"
+    finally:
+        board.pop()
+    return body
+
+
+def _disambiguation(board: Board, move: Move, piece_type: int) -> str:
+    """Minimal SAN disambiguator among same-type pieces that can also
+    legally reach the target square (kings never need one)."""
+    if piece_type == KING:
+        return ""
+    others = [
+        m.from_square
+        for m in board.legal_moves
+        if m.to_square == move.to_square
+        and m.from_square != move.from_square
+        and (p := board.piece_at(m.from_square)) is not None
+        and p.piece_type == piece_type
+    ]
+    if not others:
+        return ""
+    f, r = square_file(move.from_square), square_rank(move.from_square)
+    if all(square_file(sq) != f for sq in others):
+        return _FILES[f]
+    if all(square_rank(sq) != r for sq in others):
+        return _RANKS[r]
+    return _FILES[f] + _RANKS[r]
+
+
+def _result(board: Board) -> str:
+    if list(board.legal_moves):
+        return "*"
+    if not board.is_check():
+        return "1/2-1/2"  # stalemate
+    return "0-1" if board.turn == chess.WHITE else "1-0"
+
+
+def game_to_pgn(
+    uci_moves: Iterable[str],
+    headers: Optional[dict] = None,
+    start_fen: Optional[str] = None,
+    result: Optional[str] = None,
+) -> str:
+    """Serialize a UCI move sequence to a PGN string.
+
+    headers: extra/overriding Seven-Tag-Roster values; start_fen sets the
+    SetUp/FEN tags for games digitized mid-position (checkpoint resumes);
+    result overrides the auto-derived termination (e.g. '1-0' on a
+    resignation the move list can't show).
+    """
+    board = Board(start_fen) if start_fen else Board()
+    sans = []
+    for u in uci_moves:
+        move = Move.from_uci(u) if isinstance(u, str) else u
+        if move not in board.legal_moves:
+            raise ValueError(f"illegal move in sequence: {u}")
+        sans.append(san(board, move))
+        board.push(move)
+
+    res = result or _result(board)
+    tags = {
+        "Event": "chessboard_vision_tpu digitized game",
+        "Site": "?",
+        "Date": "????.??.??",
+        "Round": "?",
+        "White": "?",
+        "Black": "?",
+        "Result": res,
+    }
+    if start_fen:
+        tags["SetUp"] = "1"
+        tags["FEN"] = start_fen
+    if headers:
+        tags.update(headers)
+        res = tags["Result"]
+
+    lines = [f'[{k} "{v}"]' for k, v in tags.items()]
+    lines.append("")
+
+    # Movetext with move numbers; black-to-move starts get 'N... '.
+    tokens = []
+    start_board = Board(start_fen) if start_fen else Board()
+    num = start_board.fullmove_number
+    white_to_move = start_board.turn == chess.WHITE
+    if sans and not white_to_move:
+        tokens.append(f"{num}...")
+    for i, s in enumerate(sans):
+        if white_to_move:
+            tokens.append(f"{num}.")
+        tokens.append(s)
+        if not white_to_move:
+            num += 1
+        white_to_move = not white_to_move
+    tokens.append(res)
+
+    line = ""
+    for tok in tokens:
+        if len(line) + len(tok) + 1 > 80:
+            lines.append(line)
+            line = tok
+        else:
+            line = tok if not line else line + " " + tok
+    lines.append(line)
+    return "\n".join(lines) + "\n"

@@ -537,6 +537,20 @@ class GameSession:
         self.log.info("checkpoint resumed: %s (FEN %s)", path, meta["fen"])
         return meta
 
+    def to_pgn(self, headers=None) -> str:
+        """The digitized game as a PGN document (rules/pgn.py) — the
+        portable record the reference never produced."""
+        from chessboard_vision_tpu.rules.pgn import game_to_pgn
+
+        with self.board_lock:
+            moves = [m.uci() for m in self.game.board.move_stack]
+            tags = {"White": "?", "Black": "?"}
+            if self.player_color:
+                tags[self.player_color.capitalize()] = "chessboard_vision_tpu"
+            if headers:
+                tags.update(headers)
+            return game_to_pgn(moves, headers=tags)
+
     def clock_hud(self) -> str:
         """Clock HUD line; sessions with a clock source override this."""
         return ""

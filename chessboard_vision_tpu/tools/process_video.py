@@ -126,6 +126,8 @@ def main(argv=None):
                     help="process every Nth frame (reference SKIP_FRAMES)")
     ap.add_argument("--out", default=None, help="JSONL timeline output path")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--pgn", default=None, metavar="FILE",
+                    help="write the digitized game as PGN")
     ap.add_argument("--auto-recalibrate", action="store_true",
                     help="detect mid-footage camera bumps and rebuild "
                     "geometry (session/drift.py)")
@@ -153,6 +155,13 @@ def main(argv=None):
     )
     print(f"\n{len(moves)} moves over {n} processed frames")
     print(f"final FEN: {fen}")
+    if args.pgn:
+        from chessboard_vision_tpu.rules.pgn import game_to_pgn
+
+        with open(args.pgn, "w") as f:
+            f.write(game_to_pgn([m.uci() for m in moves],
+                                headers={"Event": "digitized recording"}))
+        print(f"PGN written to {args.pgn}")
     return 0
 
 

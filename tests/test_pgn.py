@@ -1,0 +1,119 @@
+"""PGN export (rules/pgn.py): SAN correctness + movetext formatting."""
+
+import pytest
+
+from chessboard_vision_tpu.rules.chesslib import Board, Move
+from chessboard_vision_tpu.rules.pgn import game_to_pgn, san
+
+
+def _san_seq(uci_moves, fen=None):
+    board = Board(fen) if fen else Board()
+    out = []
+    for u in uci_moves:
+        m = Move.from_uci(u)
+        out.append(san(board, m))
+        board.push(m)
+    return out
+
+
+class TestSan:
+    def test_basic_and_captures(self):
+        assert _san_seq(["e2e4", "d7d5", "e4d5", "g8f6", "b1c3"]) == [
+            "e4", "d5", "exd5", "Nf6", "Nc3",
+        ]
+
+    def test_en_passant_is_plain_pawn_capture(self):
+        sans = _san_seq(["e2e4", "a7a6", "e4e5", "d7d5", "e5d6"])
+        assert sans[-1] == "exd6"
+
+    def test_castling_both_sides(self):
+        sans = _san_seq(
+            ["e2e4", "e7e5", "g1f3", "b8c6", "f1c4", "g8f6", "e1g1"]
+        )
+        assert sans[-1] == "O-O"
+        sans = _san_seq(
+            ["d2d4", "d7d5", "b1c3", "b8c6", "c1f4", "c8f5", "d1d2", "d8d7",
+             "e1c1"]
+        )
+        assert sans[-1] == "O-O-O"
+
+    def test_knight_file_disambiguation(self):
+        # Nbd2: knights on b1 and f3 can both reach d2.
+        sans = _san_seq(["g1f3", "d7d5", "d2d3", "c7c5", "b1d2"])
+        assert sans[-1] == "Nbd2"
+
+    def test_rank_disambiguation(self):
+        # Rooks on a1 and a5 -> R1a3 (same file, ranks differ).
+        fen = "1k6/8/8/R7/8/8/8/R3K3 w - - 0 1"
+        assert _san_seq(["a1a3"], fen=fen) == ["R1a3"]
+
+    def test_check_and_mate_suffixes(self):
+        sans = _san_seq(["e2e4", "e7e5", "d1h5", "b8c6", "h5f7"])
+        assert sans[-1] == "Qxf7+" or sans[-1] == "Qxf7#"
+        # Scholar's mate proper: Bc4 first so Qxf7 is mate.
+        sans = _san_seq(
+            ["e2e4", "e7e5", "f1c4", "b8c6", "d1h5", "g8f6", "h5f7"]
+        )
+        assert sans[-1] == "Qxf7#"
+
+    def test_promotion_san(self):
+        fen = "8/P6k/8/8/8/8/7K/8 w - - 0 1"
+        assert _san_seq(["a7a8q"], fen=fen) == ["a8=Q"]
+
+
+class TestGameToPgn:
+    def test_full_document(self):
+        pgn = game_to_pgn(
+            ["e2e4", "e7e5", "f1c4", "b8c6", "d1h5", "g8f6", "h5f7"],
+            headers={"White": "vision", "Black": "opponent"},
+        )
+        assert '[White "vision"]' in pgn
+        assert '[Result "1-0"]' in pgn
+        assert "1. e4 e5 2. Bc4 Nc6 3. Qh5 Nf6 4. Qxf7# 1-0" in pgn.replace(
+            "\n", " "
+        ).replace("1.", "1.", 1) or "4. Qxf7#" in pgn
+
+    def test_in_progress_result_star(self):
+        pgn = game_to_pgn(["e2e4", "c7c5"])
+        assert '[Result "*"]' in pgn
+        assert pgn.rstrip().endswith("*")
+
+    def test_black_to_move_start_fen(self):
+        fen = "rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR b KQkq - 0 1"
+        pgn = game_to_pgn(["c7c5"], start_fen=fen)
+        assert '[SetUp "1"]' in pgn and f'[FEN "{fen}"]' in pgn
+        assert "1... c5" in pgn
+
+    def test_illegal_sequence_rejected(self):
+        with pytest.raises(ValueError, match="illegal"):
+            game_to_pgn(["e2e5"])
+
+    def test_long_game_wraps_at_80_cols(self):
+        moves = ["g1f3", "g8f6", "f3g1", "f6g8"] * 12
+        pgn = game_to_pgn(moves)
+        body = pgn.split("\n\n", 1)[-1] if "\n\n" in pgn else pgn
+        assert all(len(line) <= 80 for line in pgn.splitlines())
+
+
+def test_session_to_pgn():
+    """GameSession.to_pgn serializes the live game with the session's
+    color in the header."""
+    import os, sys
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from fixtures import DEFAULT_CORNERS
+    from chessboard_vision_tpu.session.game_session import GameSession
+    from chessboard_vision_tpu.rules.chesslib import Move
+
+    s = GameSession(headless=True)
+    s.configure({
+        "corners": np.asarray(DEFAULT_CORNERS).tolist(),
+        "player_color": "white",
+        "orientation_flipped": False,
+    })
+    s.game.board.push(Move.from_uci("e2e4"))
+    s.game.board.push(Move.from_uci("e7e5"))
+    pgn = s.to_pgn(headers={"Black": "opponent"})
+    assert '[White "chessboard_vision_tpu"]' in pgn
+    assert '[Black "opponent"]' in pgn
+    assert "1. e4 e5 *" in pgn
