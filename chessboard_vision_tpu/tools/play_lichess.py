@@ -35,6 +35,8 @@ def main(argv=None):
                     "reference capture)")
     ap.add_argument("--checkpoint", default="session_checkpoint.npz",
                     metavar="CKPT", help="path the 'k' key saves to")
+    ap.add_argument("--pgn", default=None, metavar="FILE",
+                    help="write the game as PGN on exit")
     ap.add_argument("--auto-recalibrate", action="store_true",
                     help="detect camera bumps (periodic corner "
                     "re-detection) and rebuild geometry mid-game "
@@ -132,6 +134,13 @@ def main(argv=None):
             # cap.read() and cap.release() racing is not thread-safe;
             # let the capture loop observe stop first.
             capture_thread.join(timeout=2.0)
+        if args.pgn and session.game is not None:
+            try:
+                with open(args.pgn, "w") as f:
+                    f.write(session.to_pgn())
+                print(f"[pgn] {args.pgn}")
+            except Exception as e:  # never mask the shutdown path
+                print(f"[pgn] export failed: {e}")
         session.on_exit()
         cap.release()
         cv2.destroyAllWindows()
