@@ -17,6 +17,7 @@ from __future__ import annotations
 import time
 from typing import Callable, List, Optional
 
+import jax
 import numpy as np
 
 from chessboard_vision_tpu.geometry import BoardGeometry
@@ -100,32 +101,42 @@ class MultiStreamSession:
         return arr
 
     def _check_drift(self, frames):
-        hwc = None
+        hwc = self._hwc_frames(frames)
+        confirmed = []
         for i, mon in enumerate(self.drift):
-            if hwc is None:
-                hwc = self._hwc_frames(frames)
             new_corners = mon.check(hwc[i])
-            if new_corners is None:
-                continue
-            self.geometries[i] = self.geometries[i].with_corners(new_corners)
-            self.log.warning(
-                "stream %d auto-recalibrating to shifted corners", i
-            )
-            # Rebuild in per-stream-geometry mode (shared grid structure,
-            # so resample-plan static dims — and compiled programs keyed
-            # on them — are unchanged); re-capture visual references for
-            # every rig from the live frames; games are host state and
-            # survive untouched.
-            self.ms = MultiStreamPipeline(
-                self.geometries, n_streams=self.n, mesh=self._mesh,
-                **self._pipeline_kw,
-            )
-            self.state = self.ms.init_state()
-            self.state = self.ms.capture_reference(self.state, frames)
-            for st in self.streams:
-                st.stable_count = 0
-                st.stable_occupancy = None
-                st.refresh_next = False
+            if new_corners is not None:
+                confirmed.append(i)
+                self.geometries[i] = self.geometries[i].with_corners(
+                    np.rint(new_corners)  # reorder() truncates float input
+                )
+        if not confirmed:
+            return
+        self.log.warning(
+            "streams %s auto-recalibrating to shifted corners", confirmed
+        )
+        # ONE rebuild for however many rigs confirmed this tick (a shared-
+        # mount bump shifts all of them at once), in per-stream-geometry
+        # mode — shared grid structure, so resample-plan static dims are
+        # unchanged. Only the BUMPED rigs' device state is replaced (their
+        # frame passed the drift gates); the other rigs keep their current
+        # visual references and temporal state untouched — re-capturing
+        # them from unvetted live frames could bake a hand or a mid-move
+        # transient into their background model.
+        self.ms = MultiStreamPipeline(
+            self.geometries, n_streams=self.n, mesh=self._mesh,
+            **self._pipeline_kw,
+        )
+        fresh = self.ms.capture_reference(self.ms.init_state(), frames)
+        idx = np.asarray(confirmed)
+        self.state = jax.tree.map(
+            lambda old, new: old.at[idx].set(new[idx]), self.state, fresh
+        )
+        for i in confirmed:
+            st = self.streams[i]
+            st.stable_count = 0
+            st.stable_occupancy = None
+            st.refresh_next = False
 
     def _smart_scan_mask(self, st: _StreamState) -> np.ndarray:
         squares = set(st.game.get_board_occupancy())
@@ -246,6 +257,46 @@ class MultiStreamSession:
                 f"checkpoint has {n_ckpt} streams; this session has {self.n}"
             )
         state, meta = load_tree(path, self.ms.init_state())
+        # Restore per-rig geometries recorded at save time: an
+        # auto-recalibrated session's corners differ from the original
+        # calibration this session was constructed with, and the loaded
+        # visual references were captured under the SAVED geometry —
+        # pairing them with old-corner resample plans would pass the shape
+        # check but silently break detection on the drifted rigs.
+        saved = [
+            None if c is None else np.asarray(c, np.float64)
+            for c in meta.get("corners", [None] * self.n)
+        ]
+        changed = [
+            i for i, c in enumerate(saved)
+            if c is not None
+            and self.geometries[i].src_corners is not None
+            and not np.allclose(c, self.geometries[i].src_corners)
+        ]
+        if changed:
+            self.log.warning(
+                "checkpoint geometry differs on streams %s; rebuilding",
+                changed,
+            )
+            for i in changed:
+                self.geometries[i] = self.geometries[i].with_corners(
+                    np.rint(saved[i])
+                )
+            self.ms = MultiStreamPipeline(
+                self.geometries, n_streams=self.n, mesh=self._mesh,
+                **self._pipeline_kw,
+            )
+        if self.drift is not None:
+            from chessboard_vision_tpu.session.drift import DriftMonitor
+
+            self.drift = [
+                DriftMonitor(
+                    g.src_corners,
+                    threshold_px=mon.threshold_px,
+                    confirm=mon.confirm,
+                )
+                for g, mon in zip(self.geometries, self.drift)
+            ]
         self.state = state
         self.frame_count = meta["frame_count"]
         for st, m in zip(self.streams, meta["streams"]):

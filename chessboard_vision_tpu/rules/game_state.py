@@ -20,6 +20,9 @@ SquareTuple = Tuple[int, int]  # (file_idx, rank_idx), a1=(0,0), h8=(7,7)
 class GameState:
     def __init__(self):
         self.board = chess.Board()
+        # FEN of the position move_stack replays from (set_fen/reset update
+        # it) — PGN export needs it for games digitized mid-position.
+        self.start_fen = chess.STARTING_FEN
 
     def get_fen(self) -> str:
         return self.board.fen()
@@ -145,6 +148,8 @@ class GameState:
 
     def reset(self):
         self.board.reset()
+        self.start_fen = chess.STARTING_FEN
 
     def set_fen(self, fen: str):
         self.board.set_fen(fen)
+        self.start_fen = fen

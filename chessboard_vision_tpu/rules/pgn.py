@@ -132,7 +132,10 @@ def game_to_pgn(
         tags.update(headers)
         res = tags["Result"]
 
-    lines = [f'[{k} "{v}"]' for k, v in tags.items()]
+    def esc(v):  # PGN spec: quote and backslash are backslash-escaped
+        return str(v).replace("\\", "\\\\").replace('"', '\\"')
+
+    lines = [f'[{k} "{esc(v)}"]' for k, v in tags.items()]
     lines.append("")
 
     # Movetext with move numbers; black-to-move starts get 'N... '.

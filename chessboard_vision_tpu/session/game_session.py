@@ -291,7 +291,7 @@ class GameSession:
         kept: they live in warped-board space, which the new homography
         still maps the same physical board onto."""
         with self.board_lock:
-            self.config["corners"] = np.asarray(corners).astype(int).tolist()
+            self.config["corners"] = np.rint(np.asarray(corners)).astype(int).tolist()
             geometry = geo.BoardGeometry.from_config(self.config)
             self.pipeline = VisionPipeline(geometry, **self._pipeline_kwargs)
             self.pipe_state = self.pipeline.init_state()
@@ -549,7 +549,15 @@ class GameSession:
                 tags[self.player_color.capitalize()] = "chessboard_vision_tpu"
             if headers:
                 tags.update(headers)
-            return game_to_pgn(moves, headers=tags)
+            # Checkpoint resumes and Lichess from-position games replay
+            # move_stack from a set_fen position, not the standard start.
+            from chessboard_vision_tpu.rules.chesslib import STARTING_FEN
+
+            start = self.game.start_fen
+            return game_to_pgn(
+                moves, headers=tags,
+                start_fen=None if start == STARTING_FEN else start,
+            )
 
     def clock_hud(self) -> str:
         """Clock HUD line; sessions with a clock source override this."""

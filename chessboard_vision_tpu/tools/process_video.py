@@ -159,7 +159,7 @@ def main(argv=None):
         from chessboard_vision_tpu.rules.pgn import game_to_pgn
 
         with open(args.pgn, "w") as f:
-            f.write(game_to_pgn([m.uci() for m in moves],
+            f.write(game_to_pgn(moves,  # run() returns UCI strings
                                 headers={"Event": "digitized recording"}))
         print(f"PGN written to {args.pgn}")
     return 0

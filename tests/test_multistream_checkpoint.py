@@ -77,7 +77,7 @@ def test_resume_matches_uninterrupted(tmp_path):
 
     # Identical decisions and final state on both paths.
     assert [
-        [m and m.uci() for m in tick] for m, tick in zip(moves_orig, moves_orig)
+        [m and m.uci() for m in tick] for tick in moves_orig
     ] == [[m and m.uci() for m in tick] for tick in moves_res]
     assert any(m and m.uci() == "e7e5" for m, _ in moves_res), moves_res
     assert any(m and m.uci() == "e2e4" for _, m in moves_res), moves_res

@@ -117,3 +117,32 @@ def test_session_to_pgn():
     assert '[White "chessboard_vision_tpu"]' in pgn
     assert '[Black "opponent"]' in pgn
     assert "1. e4 e5 *" in pgn
+
+
+def test_session_to_pgn_from_position():
+    """A session whose game was seeded mid-position (checkpoint resume /
+    Lichess from-position) exports SetUp/FEN tags and replays legally."""
+    import os, sys
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from fixtures import DEFAULT_CORNERS
+    from chessboard_vision_tpu.session.game_session import GameSession
+    from chessboard_vision_tpu.rules.chesslib import Move
+
+    fen = "rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR b KQkq - 0 1"
+    s = GameSession(headless=True)
+    s.configure({
+        "corners": np.asarray(DEFAULT_CORNERS).tolist(),
+        "player_color": "black",
+        "orientation_flipped": False,
+    })
+    s.game.set_fen(fen)
+    s.game.board.push(Move.from_uci("c7c5"))
+    pgn = s.to_pgn()
+    assert '[SetUp "1"]' in pgn and f'[FEN "{fen}"]' in pgn
+    assert "1... c5" in pgn
+
+
+def test_pgn_tag_escaping():
+    pgn = game_to_pgn(["e2e4"], headers={"Event": 'club "blitz" night'})
+    assert '[Event "club \\"blitz\\" night"]' in pgn
