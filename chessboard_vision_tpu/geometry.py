@@ -392,7 +392,13 @@ class BoardGeometry:
 
     @classmethod
     def from_config(cls, config: dict, **kw) -> "BoardGeometry":
-        """Build from a calibration.json-style dict (reference format)."""
+        """Build from a calibration.json-style dict (reference format).
+
+        An optional "display_size": [w, h] key overrides the reference's
+        fixed 1280x720 capture assumption (play_lichess.py:11) for rigs
+        calibrated at other resolutions."""
+        if "display_size" in config and "display_size" not in kw:
+            kw["display_size"] = tuple(config["display_size"])
         return cls.from_calibration(
             np.array(config["corners"]),
             orientation_flipped=config.get("orientation_flipped", False),

@@ -179,3 +179,17 @@ class TestSmartGridRefine:
         for found, true in zip(gy[1:8], gy_true[1:8]):
             assert abs(found - true) <= 2
         assert gx[0] == 0 and gx[8] == 620
+
+
+def test_from_config_honors_display_size():
+    """"display_size": [w, h] in calibration.json overrides the reference's
+    fixed 1280x720 capture assumption (sessions at other resolutions)."""
+    from chessboard_vision_tpu import geometry as geo
+
+    cfg = {
+        "corners": [[100, 50], [1800, 60], [90, 1000], [1810, 1010]],
+        "display_size": [1920, 1080],
+    }
+    g = geo.BoardGeometry.from_config(cfg)
+    assert (g.src_w, g.src_h) == (1920, 1080)
+    assert g.board_size == 1080 - 100
