@@ -206,6 +206,19 @@ class MultiStreamSession:
         # scan) — see session/inference.py.
         return infer_move_from_diff(st.game, missing, extra, vision, log=self.log)
 
+    def to_pgn(self, stream: int, headers=None) -> str:
+        """PGN document for one stream's digitized game (rules/pgn.py)."""
+        from chessboard_vision_tpu.rules.chesslib import STARTING_FEN
+        from chessboard_vision_tpu.rules.pgn import game_to_pgn
+
+        st = self.streams[stream]
+        start = st.game.start_fen
+        return game_to_pgn(
+            [m.uci() for m in st.game.board.move_stack],
+            headers=headers,
+            start_fen=None if start == STARTING_FEN else start,
+        )
+
     # -- checkpoint / resume ----------------------------------------------
 
     def save_checkpoint(self, path: str):

@@ -151,3 +151,46 @@ class TestMultiStreamAutoRecalibration:
             moves = sess.on_frames(frames(occ_after, occ_after, c0=bumped))
             committed = [m or c for m, c in zip(moves, committed)]
         assert [m and m.uci() for m in committed] == ["e2e4", "e2e4"]
+
+
+def test_checkpoint_after_recalibration_resumes_with_new_corners(tmp_path):
+    """The drift and checkpoint features compose: a session that
+    auto-recalibrated saves the UPDATED corners in its checkpoint; a fresh
+    process resuming it builds the shifted geometry and keeps seeing the
+    board (move committed at the bumped corners post-resume)."""
+    rng = np.random.default_rng(9)
+    session = GameSession(headless=True)
+    session.configure(_config(
+        auto_recalibrate=True, drift_check_interval=5, drift_confirm_checks=2,
+    ))
+    session.STABILITY_REQUIRED = 4
+    session.MOVE_COOLDOWN = 0.0
+
+    occ = initial_occupancy()
+    session.capture_reference_frame(make_board_frame(occ, rng))
+    bumped = np.asarray(DEFAULT_CORNERS, np.float64) + BUMP
+    for _ in range(12):
+        session.on_frame(make_board_frame(occ, rng, corners=bumped))
+    got = np.asarray(session.config["corners"], np.float64)
+    assert np.abs(got - bumped).max() <= 2.0, "bump not recalibrated"
+
+    ckpt = str(tmp_path / "drifted.npz")
+    session.save_checkpoint(ckpt)
+
+    fresh = GameSession(headless=True)
+    fresh.STABILITY_REQUIRED = 4
+    fresh.MOVE_COOLDOWN = 0.0
+    fresh.resume_checkpoint(ckpt)
+    assert np.abs(
+        np.asarray(fresh.config["corners"], np.float64) - bumped
+    ).max() <= 2.0
+
+    occ_after = occ.copy()
+    occ_after[4, 1] = False
+    occ_after[4, 3] = True
+    move = None
+    for _ in range(14):
+        move = fresh.on_frame(
+            make_board_frame(occ_after, rng, corners=bumped)
+        ) or move
+    assert move is not None and move.uci() == "e2e4"

@@ -146,3 +146,19 @@ def test_session_to_pgn_from_position():
 def test_pgn_tag_escaping():
     pgn = game_to_pgn(["e2e4"], headers={"Event": 'club "blitz" night'})
     assert '[Event "club \\"blitz\\" night"]' in pgn
+
+
+def test_multistream_to_pgn():
+    import os, sys
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from fixtures import DEFAULT_CORNERS
+    from chessboard_vision_tpu import geometry as geo
+    from chessboard_vision_tpu.parallel.session import MultiStreamSession
+    from chessboard_vision_tpu.rules.chesslib import Move
+
+    g = geo.BoardGeometry.from_calibration(np.asarray(DEFAULT_CORNERS))
+    sess = MultiStreamSession(g, n_streams=2)
+    sess.streams[1].game.board.push(Move.from_uci("d2d4"))
+    assert "1. d4 *" in sess.to_pgn(1)
+    assert sess.to_pgn(0).rstrip().endswith("*")
