@@ -32,7 +32,7 @@ def __getattr__(name):
     _api = {
         "enhance_frame", "extract_grid", "detect_pieces", "detect_changes",
         "frame_to_fen", "frame_to_full_fen", "generate_fen", "occupancy_to_fen",
-        "occupancy_to_colored_fen",
+        "occupancy_to_colored_fen", "digitize_video",
     }
     if name in _api:
         from chessboard_vision_tpu import api

@@ -201,3 +201,43 @@ def frame_to_full_fen(
     )
     chars = clf.classify(radii, occ, colors)
     return occupancy_to_full_fen(occ.reshape(8, 8).T, chars, piece_colors=colors)
+
+
+def digitize_video(
+    video_path: str,
+    corners=None,
+    config: Optional[dict] = None,
+    skip_frames: int = 2,
+    max_frames: Optional[int] = None,
+    auto_recalibrate: bool = False,
+    pgn_headers: Optional[dict] = None,
+) -> dict:
+    """One-call recorded-footage digitizer: video file -> moves/FEN/PGN.
+
+    Wraps tools.process_video.run + rules.pgn.game_to_pgn. Pass either the
+    4 calibration ``corners`` (TL, TR, BL, BR) or a full calibration
+    ``config`` dict. Returns {"moves": [uci...], "fen": str, "pgn": str,
+    "frames": int}.
+    """
+    from chessboard_vision_tpu.rules.pgn import game_to_pgn
+    from chessboard_vision_tpu.tools.process_video import run
+
+    if config is None:
+        if corners is None:
+            raise ValueError("pass corners or a calibration config")
+        config = {
+            "corners": np.asarray(corners).tolist(),
+            "player_color": "white",
+            "orientation_flipped": False,
+        }
+    if auto_recalibrate:
+        config = {**config, "auto_recalibrate": True}
+    moves, fen, n = run(
+        video_path, config, skip_frames=skip_frames, max_frames=max_frames
+    )
+    return {
+        "moves": list(moves),
+        "fen": fen,
+        "pgn": game_to_pgn(moves, headers=pgn_headers),
+        "frames": n,
+    }

@@ -70,3 +70,31 @@ def test_generate_fen_reference_api():
     board_map = map_detections_to_board(detections, board_size=620)
     fen = cbv.generate_fen(board_map)
     assert fen.split()[0] == "Rk6/8/8/8/8/8/8/8"
+
+
+def test_digitize_video_one_call(tmp_path):
+    """api.digitize_video: video file -> moves + FEN + PGN in one call."""
+    import cv2
+    import chessboard_vision_tpu as cbv
+    from fixtures import DEFAULT_CORNERS, initial_occupancy, make_board_frame
+
+    rng = np.random.default_rng(11)
+    occ0 = initial_occupancy()
+    occ1 = occ0.copy()
+    occ1[4, 1] = False
+    occ1[4, 3] = True
+    frames = [make_board_frame(occ0, rng) for _ in range(8)]
+    frames += [make_board_frame(occ1, rng) for _ in range(26)]
+    path = str(tmp_path / "game.avi")
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (w, h))
+    assert vw.isOpened()
+    for f in frames:
+        vw.write(f)
+    vw.release()
+
+    out = cbv.digitize_video(path, corners=DEFAULT_CORNERS, skip_frames=1)
+    assert out["moves"] == ["e2e4"]
+    assert out["fen"].split()[0].endswith("PPPP1PPP/RNBQKBNR")
+    assert "1. e4 *" in out["pgn"]
+    assert out["frames"] > 20
