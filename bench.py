@@ -137,6 +137,37 @@ def _per_stage_ms(trace_dir: str, iters: int) -> dict:
     }
 
 
+def _device_probe(q):
+    """Child-process device enumeration (spawned; see _check_backend)."""
+    import jax
+
+    q.put(repr(jax.devices()))
+
+
+def _check_backend(timeout_s: float = 240.0) -> None:
+    """Fail fast (rc 3) when the TPU backend is unreachable.
+
+    jax.devices() blocks FOREVER if this environment's TPU tunnel relay
+    has died (observed live) — an opaque hang the bench driver can only
+    kill on timeout. Probing in a spawned child with a deadline turns
+    that into an immediate, explained failure."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=_device_probe, args=(q,), daemon=True)
+    p.start()
+    p.join(timeout=timeout_s)
+    if p.is_alive():
+        p.terminate()
+        p.join()
+        log(f"FATAL: jax.devices() did not return within {timeout_s:.0f}s — "
+            "the TPU tunnel is unreachable (dead relay?); no measurement "
+            "is possible. Exiting instead of hanging.")
+        sys.exit(3)
+    log(f"devices: {q.get()}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry", action="store_true", help="tiny CPU-friendly run")
@@ -177,7 +208,10 @@ def main():
 
     frame, (x0, y0, bs) = synth_frame(rng, h, w)
     corners = np.array([[x0, y0], [x0 + bs, y0], [x0, y0 + bs], [x0 + bs, y0 + bs]])
-    log(f"devices: {jax.devices()}")
+    if not args.dry:
+        _check_backend()
+    else:
+        log(f"devices: {jax.devices()}")
     pipe = build((w, h), corners, with_enhancer=args.enhance)
     state = pipe.init_state()
 
