@@ -194,3 +194,18 @@ def test_checkpoint_after_recalibration_resumes_with_new_corners(tmp_path):
             make_board_frame(occ_after, rng, corners=bumped)
         ) or move
     assert move is not None and move.uci() == "e2e4"
+
+
+def test_huge_shift_is_treated_as_misdetection():
+    """Gate 2's upper bound: a 'shift' beyond max_px is a contour
+    misdetection (locked onto another rectangle), not a bump — never
+    confirmed no matter how consistent."""
+    rng = np.random.default_rng(10)
+    occ = initial_occupancy()
+    mon = DriftMonitor(
+        np.asarray(DEFAULT_CORNERS, np.float64), confirm=2, max_px=80.0
+    )
+    assert mon.check(make_board_frame(occ, rng)) is None  # baseline
+    far = np.asarray(DEFAULT_CORNERS, np.float64) + np.array([[120, 0]] * 4)
+    for _ in range(4):
+        assert mon.check(make_board_frame(occ, rng, corners=far)) is None
