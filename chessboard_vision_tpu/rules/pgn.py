@@ -98,13 +98,16 @@ def game_to_pgn(
     headers: Optional[dict] = None,
     start_fen: Optional[str] = None,
     result: Optional[str] = None,
+    comments: Optional[dict] = None,
 ) -> str:
     """Serialize a UCI move sequence to a PGN string.
 
     headers: extra/overriding Seven-Tag-Roster values; start_fen sets the
     SetUp/FEN tags for games digitized mid-position (checkpoint resumes);
     result overrides the auto-derived termination (e.g. '1-0' on a
-    resignation the move list can't show).
+    resignation the move list can't show); comments maps 0-based move
+    indices to brace-comment text (e.g. '[%clk 0:04:32]' — emitted as
+    {...} after the move, the standard clock-annotation form).
     """
     board = Board(start_fen) if start_fen else Board()
     sans = []
@@ -149,6 +152,8 @@ def game_to_pgn(
         if white_to_move:
             tokens.append(f"{num}.")
         tokens.append(s)
+        if comments and i in comments:
+            tokens.append("{" + str(comments[i]) + "}")
         if not white_to_move:
             num += 1
         white_to_move = not white_to_move

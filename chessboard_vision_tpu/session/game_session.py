@@ -537,7 +537,7 @@ class GameSession:
         self.log.info("checkpoint resumed: %s (FEN %s)", path, meta["fen"])
         return meta
 
-    def to_pgn(self, headers=None) -> str:
+    def to_pgn(self, headers=None, comments=None) -> str:
         """The digitized game as a PGN document (rules/pgn.py) — the
         portable record the reference never produced."""
         from chessboard_vision_tpu.rules.pgn import game_to_pgn
@@ -557,6 +557,7 @@ class GameSession:
             return game_to_pgn(
                 moves, headers=tags,
                 start_fen=None if start == STARTING_FEN else start,
+                comments=comments,
             )
 
     def clock_hud(self) -> str:

@@ -31,6 +31,9 @@ class LichessSession(GameSession):
         self.auto_decline_draws = True
         self.draw_offered_by_opponent = False
         self._initial_fen = None  # gameFull initialFen for from-position games
+        # {move_count: (wtime_ms, btime_ms)} snapshots recorded at each
+        # server sync — feeds to_pgn's standard %clk annotations.
+        self.clock_history = {}
 
     def connect_and_setup(self, interactive: bool = True) -> bool:
         self.log.info("connecting to Lichess...")
@@ -170,12 +173,43 @@ class LichessSession(GameSession):
                         )
                         return
             self.last_lichess_moves = moves_str
+            clk = getattr(self.lichess, "clock", None)  # mocks/minimal clients
+            if clk is not None:
+                n_moves = len(moves_str.split()) if moves_str else 0
+                # setdefault: some isolation tests drive _sync_moves on a
+                # partially-constructed session (object.__new__ pattern)
+                self.__dict__.setdefault("clock_history", {})[n_moves] = (
+                    clk.wtime_ms, clk.btime_ms,
+                )
             is_my_turn = self.lichess.is_my_turn(moves_str)
             self.waiting_for_opponent = not is_my_turn
             if not is_my_turn:
                 last = self.lichess.get_last_move(moves_str)
                 if last:
                     self.log.info("opponent played: %s", last)
+
+    def to_pgn(self, headers=None, comments=None) -> str:
+        """PGN with standard {[%clk H:MM:SS]} annotations from the stream's
+        clock snapshots (the mover's remaining time after each move —
+        lichess's own export form). Only moves whose gameState event was
+        observed carry a clock."""
+        clk_comments = {}
+        for n, (wtime, btime) in self.clock_history.items():
+            if n < 1:
+                continue
+            ms = wtime if n % 2 == 1 else btime  # odd move counts = white moved
+            s_total = ms // 1000
+            clk_comments[n - 1] = (
+                f"[%clk {s_total // 3600}:{(s_total // 60) % 60:02d}:{s_total % 60:02d}]"
+            )
+        if comments:
+            clk_comments.update(comments)
+        tags = {"Site": "https://lichess.org", "Event": "Lichess game"}
+        if self.game_id:
+            tags["Site"] = f"https://lichess.org/{self.game_id}"
+        if headers:
+            tags.update(headers)
+        return super().to_pgn(headers=tags, comments=clk_comments or None)
 
     def on_exit(self):
         self.stop_event.set()

@@ -162,3 +162,31 @@ def test_multistream_to_pgn():
     sess.streams[1].game.board.push(Move.from_uci("d2d4"))
     assert "1. d4 *" in sess.to_pgn(1)
     assert sess.to_pgn(0).rstrip().endswith("*")
+
+
+def test_lichess_session_pgn_clock_annotations():
+    """LichessSession.to_pgn emits standard %clk comments from the
+    stream's clock snapshots (mover's remaining time after each move)."""
+    import os, sys
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from fixtures import DEFAULT_CORNERS
+    from unittest import mock
+    from chessboard_vision_tpu.session.lichess_session import LichessSession
+    from chessboard_vision_tpu.rules.chesslib import Move
+
+    client = mock.MagicMock()
+    s = LichessSession(client=client, headless=True)
+    s.configure({
+        "corners": np.asarray(DEFAULT_CORNERS).tolist(),
+        "player_color": "white",
+        "orientation_flipped": False,
+    })
+    s.game_id = "abc12345"
+    s.game.board.push(Move.from_uci("e2e4"))
+    s.game.board.push(Move.from_uci("e7e5"))
+    s.clock_history = {1: (292_000, 300_000), 2: (292_000, 287_000)}
+    pgn = s.to_pgn()
+    assert '[Site "https://lichess.org/abc12345"]' in pgn
+    assert "e4 {[%clk 0:04:52]}" in pgn
+    assert "e5 {[%clk 0:04:47]}" in pgn
