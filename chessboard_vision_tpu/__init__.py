@@ -22,7 +22,7 @@ Layer map (mirrors reference layers, see SURVEY.md §1):
   native/     — C++ host runtime (frame ring buffer etc.), ctypes-loaded
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):
