@@ -168,3 +168,59 @@ def game_to_pgn(
             line = tok if not line else line + " " + tok
     lines.append(line)
     return "\n".join(lines) + "\n"
+
+
+def parse_san(board: Board, token: str) -> Move:
+    """Inverse of san(): resolve a SAN token to the unique legal move.
+
+    Accepts export-format SAN (suffixes '+', '#', '!?' annotations are
+    ignored). Raises ValueError when no legal move (or more than one —
+    an under-disambiguated token) matches. Exists chiefly so the writer
+    can be round-trip verified without an external chess library.
+    """
+    body = token.rstrip("+#!?")
+    if body in ("O-O", "0-0", "O-O-O", "0-0-0"):
+        short = body in ("O-O", "0-0")
+        for m in board.legal_moves:
+            if board.is_castling(m) and (
+                (square_file(m.to_square) > square_file(m.from_square)) == short
+            ):
+                return m
+        raise ValueError(f"no legal castling move for {token!r}")
+
+    promotion = None
+    if "=" in body:
+        body, promo = body.split("=", 1)
+        promotion = PIECE_SYMBOLS.index(promo[0].lower())
+
+    if body[0] in "NBRQK":
+        piece_type = PIECE_SYMBOLS.index(body[0].lower())
+        body = body[1:]
+    else:
+        piece_type = PAWN
+
+    body = body.replace("x", "")
+    dest = body[-2:]
+    hint = body[:-2]  # '', file, rank, or file+rank
+    if dest[0] not in _FILES or dest[1] not in _RANKS:
+        raise ValueError(f"bad SAN destination in {token!r}")
+    to_sq = _FILES.index(dest[0]) + 8 * _RANKS.index(dest[1])
+
+    matches = []
+    for m in board.legal_moves:
+        if m.to_square != to_sq or (m.promotion or None) != promotion:
+            continue
+        p = board.piece_at(m.from_square)
+        if p is None or p.piece_type != piece_type:
+            continue
+        f, r = square_file(m.from_square), square_rank(m.from_square)
+        if any(c in _FILES and _FILES.index(c) != f for c in hint):
+            continue
+        if any(c in _RANKS and _RANKS.index(c) != r for c in hint):
+            continue
+        matches.append(m)
+    if len(matches) != 1:
+        raise ValueError(
+            f"SAN {token!r} matches {len(matches)} legal moves"
+        )
+    return matches[0]

@@ -190,3 +190,31 @@ def test_lichess_session_pgn_clock_annotations():
     assert '[Site "https://lichess.org/abc12345"]' in pgn
     assert "e4 {[%clk 0:04:52]}" in pgn
     assert "e5 {[%clk 0:04:47]}" in pgn
+
+
+def test_san_round_trip_random_playouts():
+    """Property test: san() and parse_san() are inverses over hundreds of
+    random legal positions (incl. castling, promotions, en passant as
+    they arise) — the writer is self-verified without an external chess
+    library."""
+    import numpy as np
+    from chessboard_vision_tpu.rules.chesslib import Board
+    from chessboard_vision_tpu.rules.pgn import parse_san
+
+    rng = np.random.default_rng(12)
+    total = 0
+    for game in range(12):
+        board = Board()
+        for ply in range(120):
+            legal = list(board.legal_moves)
+            if not legal:
+                break
+            move = legal[int(rng.integers(len(legal)))]
+            token = san(board, move)
+            back = parse_san(board, token)
+            assert (back.from_square, back.to_square, back.promotion or None) == (
+                move.from_square, move.to_square, move.promotion or None
+            ), (game, ply, token, move.uci())
+            board.push(move)
+            total += 1
+    assert total > 500
