@@ -218,3 +218,10 @@ def test_san_round_trip_random_playouts():
             board.push(move)
             total += 1
     assert total > 500
+
+
+def test_stalemate_result():
+    # Black to move, stalemated: king a8, white Qc7+Kb6 pattern.
+    fen = "k7/2Q5/1K6/8/8/8/8/8 b - - 0 1"
+    pgn = game_to_pgn([], start_fen=fen)
+    assert '[Result "1/2-1/2"]' in pgn
