@@ -11,10 +11,20 @@ Run: JAX_PLATFORM_NAME=cpu python -m chessboard_vision_tpu.tools.demo_pipeline
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+if os.environ.get("JAX_PLATFORM_NAME") == "cpu":
+    # JAX_PLATFORM_NAME selects the platform but does NOT stop PJRT
+    # plugin discovery from contacting the axon tunnel — with a dead
+    # relay that blocks forever at import. Translating it to the config
+    # flag skips plugin init entirely (same as tests/conftest.py).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from chessboard_vision_tpu.session.game_session import GameSession
 from chessboard_vision_tpu.rules import chess
@@ -90,6 +100,7 @@ def main(argv=None):
     print(f"final FEN: {session.game.get_fen()}")
     print(f"script FEN: {script.fen()}")
     print(f"{n_frames} frames in {dt:.1f}s ({n_frames / dt:.1f} fps incl. render)")
+    print("\nPGN:\n" + session.to_pgn(headers={"Event": "demo_pipeline"}))
     if session.game.get_fen() != script.fen():
         print("FEN MISMATCH")
         return 1
