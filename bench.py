@@ -144,28 +144,51 @@ def _device_probe(q):
     q.put(repr(jax.devices()))
 
 
-def _check_backend(timeout_s: float = 240.0) -> None:
-    """Fail fast (rc 3) when the TPU backend is unreachable.
+def _check_backend() -> None:
+    """Fail fast (rc 3) when the TPU backend is unreachable — after a
+    bounded retry window so a TRANSIENT relay death at capture time does
+    not zero the round's artifact (BENCH_r03 carried no measurement).
 
     jax.devices() blocks FOREVER if this environment's TPU tunnel relay
     has died (observed live) — an opaque hang the bench driver can only
-    kill on timeout. Probing in a spawned child with a deadline turns
-    that into an immediate, explained failure."""
+    kill on timeout. Probing in a spawned child with a deadline turns that
+    into an explained failure. A probe child that EXITS abnormally (PJRT
+    raising on a dead relay instead of hanging) is handled too: exitcode
+    is checked and the result queue is read with its own deadline, never
+    a blocking get (ADVICE r3)."""
     import multiprocessing as mp
+    import queue as _queue
 
     ctx = mp.get_context("spawn")
-    q = ctx.Queue()
-    p = ctx.Process(target=_device_probe, args=(q,), daemon=True)
-    p.start()
-    p.join(timeout=timeout_s)
-    if p.is_alive():
-        p.terminate()
-        p.join()
-        log(f"FATAL: jax.devices() did not return within {timeout_s:.0f}s — "
-            "the TPU tunnel is unreachable (dead relay?); no measurement "
-            "is possible. Exiting instead of hanging.")
-        sys.exit(3)
-    log(f"devices: {q.get()}")
+    timeouts = (240.0, 90.0, 90.0)
+    delays = (45.0, 90.0)
+    for attempt, timeout_s in enumerate(timeouts, 1):
+        q = ctx.Queue()
+        p = ctx.Process(target=_device_probe, args=(q,), daemon=True)
+        p.start()
+        p.join(timeout=timeout_s)
+        why = None
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            why = f"jax.devices() did not return within {timeout_s:.0f}s"
+        elif p.exitcode != 0:
+            why = f"probe child died (exitcode {p.exitcode})"
+        else:
+            try:
+                log(f"devices: {q.get(timeout=5)}")
+                return
+            except _queue.Empty:
+                why = "probe child exited cleanly but returned no result"
+        log(f"backend probe {attempt}/{len(timeouts)}: {why}")
+        if attempt < len(timeouts):
+            log(f"retrying in {delays[attempt - 1]:.0f}s (transient relay "
+                "deaths have been observed to recover)")
+            time.sleep(delays[attempt - 1])
+    log("FATAL: the TPU tunnel is unreachable (dead relay?) after "
+        f"{len(timeouts)} probe attempts; no measurement is possible. "
+        "Exiting instead of hanging.")
+    sys.exit(3)
 
 
 def main():

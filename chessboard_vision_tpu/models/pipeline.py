@@ -99,7 +99,12 @@ def nested_scan(body, state, xs, length: int, inner: int = 16):
     def outer(st, xg):
         return jax.lax.scan(body, st, xg)
 
-    state, outs = jax.lax.scan(outer, state, jax.tree.map(regroup, head))
+    # The outer scan recurses through nested_scan too: for k >= inner**2
+    # (e.g. --chunk 512 at inner 16) a flat outer scan would itself reach
+    # the >= 32 hang threshold (ADVICE r3).
+    state, outs = nested_scan(
+        outer, state, jax.tree.map(regroup, head), groups, inner
+    )
     outs = jax.tree.map(lambda x: x.reshape((k - rem,) + x.shape[2:]), outs)
     if rem:
         tail = jax.tree.map(lambda x: x[k - rem :], xs)

@@ -153,6 +153,7 @@ class GameSession:
             self.drift = DriftMonitor(
                 np.asarray(config["corners"], np.float64).reshape(4, 2),
                 threshold_px=float(config.get("drift_threshold_px", 4.0)),
+                max_px=float(config.get("drift_max_px", 80.0)),
                 confirm=int(config.get("drift_confirm_checks", 2)),
             )
 

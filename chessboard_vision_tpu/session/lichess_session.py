@@ -194,10 +194,19 @@ class LichessSession(GameSession):
         lichess's own export form). Only moves whose gameState event was
         observed carry a clock."""
         clk_comments = {}
+        # Mover parity hangs off the START position's side to move: in a
+        # from-position game that begins with black to move, the odd-
+        # numbered moves are BLACK's (ADVICE r3).
+        start_white = True
+        if self.game is not None:
+            start_white = self.game.start_fen.split()[1] == "w"
+        elif self._initial_fen:
+            start_white = self._initial_fen.split()[1] == "w"
         for n, (wtime, btime) in self.clock_history.items():
             if n < 1:
                 continue
-            ms = wtime if n % 2 == 1 else btime  # odd move counts = white moved
+            white_moved = (n % 2 == 1) == start_white
+            ms = wtime if white_moved else btime
             s_total = ms // 1000
             clk_comments[n - 1] = (
                 f"[%clk {s_total // 3600}:{(s_total // 60) % 60:02d}:{s_total % 60:02d}]"

@@ -43,12 +43,20 @@ def load_tree(path: str, template: Any) -> Tuple[Any, dict]:
         leaves = []
         for i, tmpl in enumerate(t_leaves):
             arr = data[f"leaf_{i}"]
-            if arr.shape != tuple(np.shape(tmpl)):
-                raise ValueError(
-                    f"checkpoint leaf {i} shape {arr.shape} != template "
-                    f"{np.shape(tmpl)} — was the pipeline built with a "
-                    "different geometry?"
-                )
+            want_shape = tuple(np.shape(tmpl))
+            if arr.shape != want_shape:
+                if arr.ndim == 0:
+                    # Legacy-format leaf: a state field later widened from
+                    # scalar to vector (e.g. ChangeModelState.calibrated,
+                    # () -> (64,)) broadcasts losslessly — old checkpoints
+                    # stay resumable (ADVICE r3).
+                    arr = np.broadcast_to(arr, want_shape).copy()
+                else:
+                    raise ValueError(
+                        f"checkpoint leaf {i} shape {arr.shape} != template "
+                        f"{want_shape} — was the pipeline built with a "
+                        "different geometry?"
+                    )
             # coerce to the template's dtype (as documented): a leaf
             # saved under a different dtype config would otherwise change
             # the jitted step's signature or fail deep inside the scan

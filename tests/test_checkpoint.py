@@ -42,6 +42,19 @@ def test_tree_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(out.y), np.asarray(t.y))
 
 
+def test_tree_legacy_scalar_leaf_broadcasts(tmp_path):
+    """A checkpoint leaf saved as a scalar loads into a widened vector
+    template (ChangeModelState.calibrated went () -> (64,); old
+    checkpoints must stay resumable — ADVICE r3)."""
+    old = Inner(jnp.zeros((2, 3)), jnp.asarray(True))  # b saved as scalar
+    p = str(tmp_path / "c.npz")
+    save_tree(p, old, {})
+    new_tmpl = Inner(jnp.zeros((2, 3)), jnp.zeros((64,), bool))
+    out, _ = load_tree(p, new_tmpl)
+    assert np.asarray(out.b).shape == (64,)
+    assert np.asarray(out.b).all()
+
+
 def test_tree_shape_mismatch_raises(tmp_path):
     t = Inner(jnp.zeros((2, 3)), jnp.zeros((4,)))
     p = str(tmp_path / "c.npz")

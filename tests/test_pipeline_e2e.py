@@ -222,6 +222,39 @@ def test_step_many_nested_scan_matches_flat(rng):
         assert np.array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_nested_scan_recursion_bounds_flat_lengths():
+    """nested_scan recurses through its OUTER scan too: at k = 512 /
+    inner = 16 the outer loop has 32 groups, which as a flat scan would
+    itself hit the remote compiler's >= 32 hang threshold (ADVICE r3).
+    Spy on jax.lax.scan to assert every emitted flat scan is < 32 long,
+    and that outputs/state equal the flat form."""
+    import jax
+    import jax.numpy as jnp
+    from unittest import mock
+    from chessboard_vision_tpu.models.pipeline import nested_scan
+
+    def body(c, x):
+        c = c + x
+        return c, c * 2
+
+    xs = jnp.arange(517, dtype=jnp.int32)  # 32 groups of 16 + remainder 5
+    want_state, want_outs = jax.lax.scan(body, jnp.int32(0), xs)
+
+    lengths = []
+    real_scan = jax.lax.scan
+
+    def spy(f, init, xs_, *a, **k):
+        lengths.append(jax.tree.leaves(xs_)[0].shape[0])
+        return real_scan(f, init, xs_, *a, **k)
+
+    with mock.patch.object(jax.lax, "scan", side_effect=spy):
+        got_state, got_outs = nested_scan(body, jnp.int32(0), xs, 517, inner=16)
+
+    assert lengths and max(lengths) < 32, lengths
+    assert int(got_state) == int(want_state)
+    np.testing.assert_array_equal(np.asarray(got_outs), np.asarray(want_outs))
+
+
 def test_step_many_nested_scan_remainder(rng):
     """Non-multiple chunk lengths run the nested scan plus a short flat
     remainder scan (nested_scan), bit-identical to the flat form — the
