@@ -195,6 +195,7 @@ class Board:
         self.fullmove_number = 1
         self.move_stack.clear()
         self._undo_stack.clear()
+        self._position_counts = {self._position_key(): 1}
 
     def reset(self):
         self.set_fen(STARTING_FEN)
@@ -239,6 +240,7 @@ class Board:
         self.fullmove_number = fullmove
         self.move_stack.clear()
         self._undo_stack.clear()
+        self._position_counts = {self._position_key(): 1}
 
     def fen(self) -> str:
         rows = []
@@ -338,6 +340,99 @@ class Board:
     def is_check(self) -> bool:
         ksq = self.king(self.turn)
         return ksq is not None and self.is_attacked_by(not self.turn, ksq)
+
+    def is_checkmate(self) -> bool:
+        return self.is_check() and not any(self._generate_legal_moves())
+
+    def is_stalemate(self) -> bool:
+        return not self.is_check() and not any(self._generate_legal_moves())
+
+    # --- draw adjudication ---------------------------------------------------
+    # The reference inherited this surface from python-chess
+    # (reference game_state.py:1 `import chess`); the vision framework
+    # needs it so a digitized drawn game exports 1/2-1/2 (rules/pgn.py)
+    # instead of '*'. Semantics mirror python-chess: is_* are the
+    # automatic forms, can_claim_* the claimable forms.
+
+    def _has_legal_en_passant(self) -> bool:
+        """True if an en-passant capture is actually legal right now —
+        FIDE repetition rules only distinguish positions by ep square
+        when the capture is playable."""
+        if self.ep_square is None:
+            return False
+        f, r = square_file(self.ep_square), square_rank(self.ep_square)
+        cap_r = r - 1 if self.turn == WHITE else r + 1
+        if not 0 <= cap_r < 8:
+            return False
+        for df in (-1, 1):
+            nf = f + df
+            if 0 <= nf < 8:
+                p = self._pieces[square(nf, cap_r)]
+                if (
+                    p is not None
+                    and p.color == self.turn
+                    and p.piece_type == PAWN
+                    and self.is_legal(Move(square(nf, cap_r), self.ep_square))
+                ):
+                    return True
+        return False
+
+    def _position_key(self):
+        """Hashable FIDE-equivalence key: placement, side to move,
+        castling rights, and the ep square only when capturable."""
+        return (
+            tuple(
+                None if p is None else (p.piece_type, p.color)
+                for p in self._pieces
+            ),
+            self.turn,
+            self._castling,
+            self.ep_square if self._has_legal_en_passant() else None,
+        )
+
+    def is_repetition(self, count: int = 3) -> bool:
+        """True if the current position has occurred ``count`` times over
+        the pushed move sequence (including the start position)."""
+        return self._position_counts.get(self._position_key(), 0) >= count
+
+    def can_claim_threefold_repetition(self) -> bool:
+        return self.is_repetition(3)
+
+    def is_fifty_moves(self) -> bool:
+        """100+ halfmoves without pawn move or capture, game not already
+        ended by those same moves (a mate on the 100th halfmove wins)."""
+        return self.halfmove_clock >= 100 and any(self._generate_legal_moves())
+
+    def can_claim_fifty_moves(self) -> bool:
+        return self.is_fifty_moves()
+
+    def can_claim_draw(self) -> bool:
+        return self.can_claim_fifty_moves() or self.can_claim_threefold_repetition()
+
+    def is_insufficient_material(self) -> bool:
+        """Dead-position material test (python-chess semantics): K vs K,
+        a single minor piece, or bishops-only all on one square color."""
+        minors = []
+        for sq in range(64):
+            p = self._pieces[sq]
+            if p is None or p.piece_type == KING:
+                continue
+            if p.piece_type in (PAWN, ROOK, QUEEN):
+                return False
+            minors.append((p.piece_type, sq))
+        if len(minors) <= 1:
+            return True
+        if any(pt == KNIGHT for pt, _ in minors):
+            return False
+        shades = {(square_file(sq) + square_rank(sq)) & 1 for _, sq in minors}
+        return len(shades) == 1
+
+    def is_game_over(self, claim_draw: bool = False) -> bool:
+        if not any(self._generate_legal_moves()):
+            return True  # checkmate or stalemate
+        if self.is_insufficient_material():
+            return True
+        return claim_draw and self.can_claim_draw()
 
     # --- move generation ---------------------------------------------------
 
@@ -613,8 +708,16 @@ class Board:
         """Make a move (must be legal for correct semantics)."""
         self._do_move(move)
         self.move_stack.append(move)
+        key = self._position_key()
+        self._position_counts[key] = self._position_counts.get(key, 0) + 1
 
     def pop(self) -> Move:
+        key = self._position_key()
+        n = self._position_counts.get(key, 0) - 1
+        if n > 0:
+            self._position_counts[key] = n
+        else:
+            self._position_counts.pop(key, None)
         self._undo_move()
         return self.move_stack.pop()
 
@@ -647,12 +750,15 @@ class Board:
 
 
 def perft(board: Board, depth: int) -> int:
-    """Node count to ``depth`` — used by the engine's correctness tests."""
+    """Node count to ``depth`` — used by the engine's correctness tests.
+
+    Uses the raw make/unmake (not push/pop) so the repetition-counter
+    bookkeeping doesn't tax the hot enumeration."""
     if depth == 0:
         return 1
     total = 0
     for move in board.legal_moves:
-        board.push(move)
+        board._do_move(move)
         total += perft(board, depth - 1)
-        board.pop()
+        board._undo_move()
     return total

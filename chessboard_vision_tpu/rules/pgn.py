@@ -86,11 +86,16 @@ def _disambiguation(board: Board, move: Move, piece_type: int) -> str:
 
 
 def _result(board: Board) -> str:
-    if list(board.legal_moves):
-        return "*"
-    if not board.is_check():
-        return "1/2-1/2"  # stalemate
-    return "0-1" if board.turn == chess.WHITE else "1-0"
+    if not list(board.legal_moves):
+        if not board.is_check():
+            return "1/2-1/2"  # stalemate
+        return "0-1" if board.turn == chess.WHITE else "1-0"
+    # Draw adjudication (VERDICT r3 item 7): a digitized game ending in a
+    # dead position, 50-move exhaustion, or threefold repetition exports
+    # 1/2-1/2 — the python-chess surface the reference inherited.
+    if board.is_insufficient_material() or board.can_claim_draw():
+        return "1/2-1/2"
+    return "*"
 
 
 def game_to_pgn(

@@ -116,3 +116,70 @@ PERFT_VECTORS = [
 @pytest.mark.parametrize("fen,depth,expected", PERFT_VECTORS)
 def test_perft(fen, depth, expected):
     assert perft(Board(fen), depth) == expected
+
+
+class TestDrawAdjudication:
+    """50-move rule, threefold repetition, insufficient material
+    (VERDICT r3 item 7 — the python-chess surface the reference
+    inherited via `import chess`, reference game_state.py:1)."""
+
+    def test_threefold_repetition_knight_shuffle(self):
+        b = Board()
+        assert not b.is_repetition(2)
+        shuffle = ["g1f3", "g8f6", "f3g1", "f6g8"]
+        for uci in shuffle:  # start position seen 2nd time
+            b.push_uci(uci)
+        assert b.is_repetition(2) and not b.is_repetition(3)
+        assert not b.can_claim_threefold_repetition()
+        for uci in shuffle:  # 3rd time
+            b.push_uci(uci)
+        assert b.can_claim_threefold_repetition()
+        assert b.can_claim_draw()
+        # pop rewinds the count
+        b.pop()
+        assert not b.can_claim_threefold_repetition()
+
+    def test_repetition_key_ignores_uncapturable_ep_square(self):
+        # After 1.e4 the FEN carries ep e3, but no black pawn can take:
+        # the position is repetition-equivalent to the same placement
+        # without the ep square (FIDE 9.2.2).
+        with_ep = Board("rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR b KQkq e3 0 1")
+        without = Board("rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR b KQkq - 0 1")
+        assert with_ep._position_key() == without._position_key()
+        # ...but a capturable ep square DOES distinguish positions.
+        cap = Board("rnbqkbnr/ppp1pppp/8/8/3pP3/8/PPPP1PPP/RNBQKBNR b KQkq e3 0 2")
+        nocap = Board("rnbqkbnr/ppp1pppp/8/8/3pP3/8/PPPP1PPP/RNBQKBNR b KQkq - 0 2")
+        assert cap._position_key() != nocap._position_key()
+
+    def test_fifty_moves(self):
+        b = Board("k7/8/8/8/8/8/8/K6R w - - 99 80")
+        assert not b.is_fifty_moves()
+        b.push_uci("h1h2")
+        assert b.is_fifty_moves() and b.can_claim_draw()
+        # a pawn move or capture resets the clock
+        b2 = Board("k7/7p/8/8/8/8/8/K6R b - - 99 80")
+        b2.push_uci("h7h6")
+        assert b2.halfmove_clock == 0 and not b2.can_claim_draw()
+
+    def test_insufficient_material(self):
+        assert Board("k7/8/8/8/8/8/8/K7 w - - 0 1").is_insufficient_material()
+        assert Board("k7/8/8/8/8/8/8/KB6 w - - 0 1").is_insufficient_material()
+        assert Board("kn6/8/8/8/8/8/8/K7 w - - 0 1").is_insufficient_material()
+        # two knights (helpmates exist): not a dead position
+        assert not Board("kn6/8/8/8/8/8/8/KN6 w - - 0 1").is_insufficient_material()
+        # bishops on the same square color (b8, c1 both dark): dead
+        assert Board("kb6/8/8/8/8/8/8/K1B5 w - - 0 1").is_insufficient_material()
+        # opposite-color bishops (b8 dark, b1 light): not dead
+        assert not Board("kb6/8/8/8/8/8/8/KB6 w - - 0 1").is_insufficient_material()
+        assert not Board("k7/p7/8/8/8/8/8/K7 w - - 0 1").is_insufficient_material()
+
+    def test_checkmate_stalemate_predicates(self):
+        # fool's mate: 1.f3 e5 2.g4 Qh4#
+        assert Board(
+            "rnb1kbnr/pppp1ppp/8/4p3/6Pq/5P2/PPPPP2P/RNBQKBNR w KQkq - 1 3"
+        ).is_checkmate()
+        assert Board("k7/2Q5/1K6/8/8/8/8/8 b - - 0 1").is_stalemate()
+        b = Board()
+        assert not b.is_checkmate() and not b.is_stalemate()
+        assert not b.is_game_over()
+        assert Board("k7/8/8/8/8/8/8/KB6 w - - 0 1").is_game_over()

@@ -192,6 +192,38 @@ def test_lichess_session_pgn_clock_annotations():
     assert "e5 {[%clk 0:04:47]}" in pgn
 
 
+def test_lichess_session_pgn_clock_black_to_move_start():
+    """From-position game whose start FEN has BLACK to move: the odd-
+    numbered moves are black's, so %clk snapshots must attach to black's
+    clock (ADVICE r3 — parity was hardcoded odd=white)."""
+    import os, sys
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from fixtures import DEFAULT_CORNERS
+    from unittest import mock
+    from chessboard_vision_tpu.session.lichess_session import LichessSession
+    from chessboard_vision_tpu.rules.chesslib import Move
+
+    client = mock.MagicMock()
+    s = LichessSession(client=client, headless=True)
+    s.configure({
+        "corners": np.asarray(DEFAULT_CORNERS).tolist(),
+        "player_color": "black",
+        "orientation_flipped": False,
+    })
+    fen = "rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR b KQkq - 0 1"
+    s._initial_fen = fen
+    s.game.set_fen(fen)
+    s.game.board.push(Move.from_uci("e7e5"))  # move 1: black
+    s.game.board.push(Move.from_uci("g1f3"))  # move 2: white
+    s.clock_history = {1: (300_000, 292_000), 2: (287_000, 292_000)}
+    pgn = s.to_pgn()
+    # Move 1 (black, e5) shows black's clock 4:52; move 2 (white, Nf3)
+    # shows white's clock 4:47.
+    assert "e5 {[%clk 0:04:52]}" in pgn
+    assert "Nf3 {[%clk 0:04:47]}" in pgn
+
+
 def test_san_round_trip_random_playouts():
     """Property test: san() and parse_san() are inverses over hundreds of
     random legal positions (incl. castling, promotions, en passant as
@@ -224,4 +256,28 @@ def test_stalemate_result():
     # Black to move, stalemated: king a8, white Qc7+Kb6 pattern.
     fen = "k7/2Q5/1K6/8/8/8/8/8 b - - 0 1"
     pgn = game_to_pgn([], start_fen=fen)
+    assert '[Result "1/2-1/2"]' in pgn
+
+
+def test_threefold_repetition_result():
+    """A digitized game ending in threefold repetition exports 1/2-1/2
+    (VERDICT r3 item 7)."""
+    moves = ["g1f3", "g8f6", "f3g1", "f6g8"] * 2
+    pgn = game_to_pgn(moves)
+    assert '[Result "1/2-1/2"]' in pgn
+    assert pgn.rstrip().endswith("1/2-1/2")
+    # one shuffle short of the third occurrence: still ongoing
+    assert '[Result "*"]' in game_to_pgn(moves[:4])
+
+
+def test_fifty_move_result():
+    fen = "k7/8/8/8/8/8/8/K6R w - - 99 80"
+    pgn = game_to_pgn(["h1h2"], start_fen=fen)
+    assert '[Result "1/2-1/2"]' in pgn
+
+
+def test_insufficient_material_result():
+    # White king captures the last black rook -> K vs K, dead position.
+    fen = "8/8/8/8/8/2k5/8/1Kr5 w - - 10 60"
+    pgn = game_to_pgn(["b1c1"], start_fen=fen)
     assert '[Result "1/2-1/2"]' in pgn
