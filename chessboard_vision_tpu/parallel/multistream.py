@@ -66,7 +66,22 @@ class MultiStreamPipeline:
         mesh=None,
         piece_settings: Optional[dict] = None,
         with_change_detector: bool = True,
+        change_settings: Optional[dict] = None,
+        detector_overrides: Optional[dict] = None,
+        with_enhancer: bool = False,
+        enhancer_profile: Optional[dict] = None,
+        bilateral_backend: str = "auto",
+        hough_backend: str = "auto",
     ):
+        """The batched pipeline takes the FULL single-stream config surface
+        (VERDICT r3 item 3): tuned sensitivity (``change_settings``),
+        calibrator threshold overrides (``detector_overrides``), and the
+        fused 5-stage enhancement (``with_enhancer``/``enhancer_profile`` —
+        BASELINE config 1) are honored in the N-stream deployment shape,
+        not just single-stream sessions. In per-stream-geometry mode the
+        enhancer's frame->board color warp runs with each stream's own
+        tile plan; the board-space square extraction plan is shared (the
+        grid structure is, by construction)."""
         self.n_streams = n_streams
         self.mesh = mesh
         if isinstance(geometry, (list, tuple)):
@@ -93,6 +108,12 @@ class MultiStreamPipeline:
             base,
             piece_settings=piece_settings,
             with_change_detector=with_change_detector,
+            change_settings=change_settings,
+            detector_overrides=detector_overrides,
+            with_enhancer=with_enhancer,
+            enhancer_profile=enhancer_profile,
+            bilateral_backend=bilateral_backend,
+            hough_backend=hough_backend,
             donate_state=False,  # donation handled on the batched jit below
         )
         if geos is not None:
@@ -100,8 +121,20 @@ class MultiStreamPipeline:
 
             self._stream_plans = []
             for g in geos:
-                qx, qy = g.square_query_coords()
-                self._stream_plans.append(mr.build_plan(qx, qy, g.src_h, g.src_w))
+                if with_enhancer:
+                    # Enhancer mode warps the COLOR board first, so each
+                    # stream needs its frame->board TILE plan; the
+                    # board-space square extraction plan (consts.
+                    # enh_ext_plan) is shared across streams.
+                    tqx, tqy, _starts, _t = g.board_tile_query_coords()
+                    self._stream_plans.append(
+                        mr.build_plan(tqx, tqy, g.src_h, g.src_w)
+                    )
+                else:
+                    qx, qy = g.square_query_coords()
+                    self._stream_plans.append(
+                        mr.build_plan(qx, qy, g.src_h, g.src_w)
+                    )
             # All plans produce (64, Qr, Qc) samples of the shared grid
             # structure; each carries its own static dims (band/region).
             # The multi-MB plan ARRAYS ride as jit arguments (the
@@ -170,20 +203,25 @@ class MultiStreamPipeline:
         # slower). On a mesh the folded SPMD form wins instead: scan would
         # serialize the sharded stream axis, while each device's folded
         # shard is small enough to stay VMEM-resident anyway.
-        def scan_streams(state, frames_or_gray, s2c_mask, s2c_given, refresh, consts, with_preprocess):
+        def scan_streams(state, frames_or_gray, gray_cd, s2c_mask, s2c_given, refresh, consts, with_preprocess):
+            has_cd = gray_cd is not None  # change detector's own-blur gray
+
             def body(_, xs):
-                pipe_st, noise_st, fr, m, g, r = xs
+                pipe_st, noise_st, fr, m, g, r = xs[:6]
                 if with_preprocess:
                     new_pipe, out = self.pipe._step_impl(pipe_st, fr, m, g, r, consts)
                 else:
-                    new_pipe, out = self.pipe._step_core(pipe_st, fr, m, g, r, consts)
+                    new_pipe, out = self.pipe._step_core(
+                        pipe_st, fr, m, g, r, consts,
+                        gray_change=xs[6] if has_cd else None,
+                    )
                 new_noise, noise_out = fsm_ops.noise_step(noise_st, out.visual_changes)
                 return None, (new_pipe, new_noise, out, noise_out)
 
-            _, (pipe_s, noise_s, outs, nouts) = jax.lax.scan(
-                body, None,
-                (state.pipe, state.noise, frames_or_gray, s2c_mask, s2c_given, refresh),
-            )
+            xs = (state.pipe, state.noise, frames_or_gray, s2c_mask, s2c_given, refresh)
+            if has_cd:
+                xs = xs + (gray_cd,)
+            _, (pipe_s, noise_s, outs, nouts) = jax.lax.scan(body, None, xs)
             return MultiStreamState(pipe_s, noise_s), MultiStreamOutputs(outs, nouts)
 
         def core(state: MultiStreamState, gray, gray_cd, s2c_mask, s2c_given, refresh, fconsts):
@@ -208,17 +246,18 @@ class MultiStreamPipeline:
             if self._stream_plans is None:
                 if self.mesh is None:
                     return scan_streams(
-                        state, frames, s2c_mask, s2c_given, refresh, consts, True
+                        state, frames, None, s2c_mask, s2c_given, refresh, consts, True
                     )
                 gray, gray_cd = jax.vmap(self.pipe._preprocess, in_axes=(0, None))(
                     frames, consts
                 )
             else:
-                gray = self._extract_squares_per_stream(frames, plan_arrays)
-                gray_cd = None
+                gray, gray_cd = self._extract_squares_per_stream(
+                    frames, plan_arrays, consts
+                )
                 if self.mesh is None:
                     return scan_streams(
-                        state, gray, s2c_mask, s2c_given, refresh, consts, False
+                        state, gray, gray_cd, s2c_mask, s2c_given, refresh, consts, False
                     )
             return core(state, gray, gray_cd, s2c_mask, s2c_given, refresh, fconsts)
 
@@ -244,12 +283,26 @@ class MultiStreamPipeline:
 
         def capture_fn(state, frames, consts, plan_arrays):
             if self._stream_plans is None:
+                if self.mesh is None:
+                    # Single chip: scan over streams (like step) — keeps
+                    # each stream's capture VMEM-resident and avoids
+                    # vmapping the enhancer's Pallas kernels.
+                    def body(_, xs):
+                        st, fr = xs
+                        return None, self.pipe._capture_impl(st, fr, consts)
+
+                    _, new_state = jax.lax.scan(body, None, (state, frames))
+                    return new_state
                 return jax.vmap(
                     lambda st, fr, c: self.pipe._capture_impl(st, fr, c),
                     in_axes=(0, 0, None),
                 )(state, frames, consts)
-            gray = self._extract_squares_per_stream(frames, plan_arrays)
-            return jax.vmap(self.pipe._capture_core)(state, gray)
+            gray, gray_cd = self._extract_squares_per_stream(
+                frames, plan_arrays, consts
+            )
+            return jax.vmap(self.pipe._capture_core)(
+                state, gray, gray if gray_cd is None else gray_cd
+            )
 
         self._capture = jax.jit(capture_fn)
 
@@ -260,25 +313,64 @@ class MultiStreamPipeline:
         x = jnp.asarray(x)
         return jnp.tile(x, (self.n_streams,) + (1,) * (x.ndim - 1))
 
-    def _extract_squares_per_stream(self, frames, plan_arrays):
-        """(N, 3, Hf, Wf) planar frames -> (N, 64, H, W) preprocessed gray,
-        each stream resampled with ITS static plan (static slices stay
-        static — a vmapped dynamic variant would lower to TPU's serializing
-        gathers), then one batched Gaussian over all streams. plan_arrays
-        are traced jit arguments; the matching static dims come from
-        self._plan_dims."""
+    def _extract_squares_per_stream(self, frames, plan_arrays, consts):
+        """(N, 3, Hf, Wf) planar frames -> ((N, 64, H, W) preprocessed gray,
+        change-detector gray or None), each stream resampled with ITS
+        static plan (static slices stay static — a vmapped dynamic variant
+        would lower to TPU's serializing gathers), then one batched
+        Gaussian over all streams. plan_arrays are traced jit arguments;
+        the matching static dims come from self._plan_dims.
+
+        with_enhancer: the per-stream plans are frame->board TILE plans;
+        each stream's color board is warped with its own plan, enhanced
+        (models/enhancer.enhance_planar — the same fused 5-stage program
+        the single-stream path runs), grayscaled, and the padded squares
+        extracted with the SHARED board-space plan (consts.enh_ext_plan —
+        grid structure is shared across streams by construction)."""
         from chessboard_vision_tpu.ops import matmul_resample as mr
         from chessboard_vision_tpu.ops.color import planar_bgr2gray
         from chessboard_vision_tpu.ops.filters import gaussian_blur_valid
 
-        gray_frames = planar_bgr2gray(frames)  # (N, Hf, Wf)
-        squares = jnp.stack([
-            mr.resample_gray_u8(gray_frames[i], plan, dims)
-            for i, (plan, dims) in enumerate(zip(plan_arrays, self._plan_dims))
-        ])  # (N, 64, H+2p, W+2p)
+        if self.pipe.with_enhancer:
+            from chessboard_vision_tpu.models.enhancer import enhance_planar
+
+            bsize = self.pipe.geometry.board_size
+            grayb = jnp.stack([
+                planar_bgr2gray(
+                    enhance_planar(
+                        mr.warp_board_color(
+                            frames[i], plan, dims,
+                            self.pipe._tile_starts, bsize,
+                        ),
+                        self.pipe.enhancer_profile,
+                        bilateral_backend=self.pipe.bilateral_backend,
+                    )
+                )
+                for i, (plan, dims) in enumerate(zip(plan_arrays, self._plan_dims))
+            ])  # (N, B, B)
+            grayb = jnp.pad(grayb, ((0, 0), (0, 1), (0, 1)), mode="edge")
+            squares = jnp.stack([
+                mr.resample_gray_u8(
+                    grayb[i], consts.enh_ext_plan, self.pipe._ext_dims
+                )
+                for i in range(self.n_streams)
+            ])  # (N, 64, H+2p, W+2p)
+        else:
+            gray_frames = planar_bgr2gray(frames)  # (N, Hf, Wf)
+            squares = jnp.stack([
+                mr.resample_gray_u8(gray_frames[i], plan, dims)
+                for i, (plan, dims) in enumerate(zip(plan_arrays, self._plan_dims))
+            ])  # (N, 64, H+2p, W+2p)
         # pad must match the single-stream preprocess (pipeline.py), else
         # geometries built with blur_pad != 2 misalign vs masks/ref shapes
-        return gaussian_blur_valid(squares, 5, pad=self.pipe._pad)
+        gray = gaussian_blur_valid(squares, 5, pad=self.pipe._pad)
+        if self.pipe.change_blur != 5:
+            gray_cd = gaussian_blur_valid(
+                squares, self.pipe.change_blur, pad=self.pipe._pad
+            )
+        else:
+            gray_cd = None
+        return gray, gray_cd
 
     def init_state(self) -> MultiStreamState:
         def stack(leaf):

@@ -51,6 +51,7 @@ class MultiStreamSession:
         auto_recalibrate: bool = False,
         drift_check_interval: int = 300,
         drift_threshold_px: float = 4.0,
+        drift_max_px: float = 80.0,
         drift_confirm: int = 2,
         **pipeline_kw,
     ):
@@ -60,6 +61,22 @@ class MultiStreamSession:
         else:
             self.geometries = [geometry] * n_streams
         self._mesh = mesh
+        # Honor the tuned settings files by default, exactly like the
+        # single-stream GameSession.configure does (VERDICT r3: tuned
+        # sensitivity silently reverted to defaults in multi-stream
+        # sessions). Explicit kwargs still win.
+        from chessboard_vision_tpu.utils.config import (
+            PIECE_SETTINGS_FILE,
+            SENSITIVITY_FILE,
+            load_json_config,
+        )
+
+        pipeline_kw.setdefault(
+            "piece_settings", load_json_config(PIECE_SETTINGS_FILE)
+        )
+        pipeline_kw.setdefault(
+            "change_settings", load_json_config(SENSITIVITY_FILE)
+        )
         self._pipeline_kw = dict(pipeline_kw)
         self.ms = MultiStreamPipeline(geometry, n_streams=n_streams, mesh=mesh, **pipeline_kw)
         self.state = self.ms.init_state()
@@ -80,6 +97,7 @@ class MultiStreamSession:
                 DriftMonitor(
                     g.src_corners,
                     threshold_px=drift_threshold_px,
+                    max_px=drift_max_px,
                     confirm=drift_confirm,
                 )
                 for g in self.geometries
@@ -306,6 +324,7 @@ class MultiStreamSession:
                 DriftMonitor(
                     g.src_corners,
                     threshold_px=mon.threshold_px,
+                    max_px=mon.max_px,
                     confirm=mon.confirm,
                 )
                 for g, mon in zip(self.geometries, self.drift)

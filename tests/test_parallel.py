@@ -194,6 +194,138 @@ class TestMultiStream:
             assert np.array_equal(a, b)
 
 
+class TestBatchedConfigSurface:
+    """The full single-stream config surface in the N-stream shape
+    (VERDICT r3 item 3): enhancer, tuned sensitivity, detector overrides."""
+
+    def test_batched_enhancer_matches_single(self, rng):
+        """Shared geometry, scan path: MultiStreamPipeline(with_enhancer)
+        is bit-identical per stream to VisionPipeline(with_enhancer) —
+        BASELINE config 1 semantics in the batched deployment shape."""
+        from chessboard_vision_tpu.models.pipeline import VisionPipeline
+        from chessboard_vision_tpu.ops import static_resample as sr
+
+        profile = {"contrast": 1.1, "brightness": 6, "sat_scale": 1.2}
+        g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
+        occ_a = initial_occupancy()
+        occ_b = initial_occupancy()
+        occ_b[4, 1] = False
+        occ_b[4, 3] = True
+        f0 = [make_board_frame(occ_a, rng), make_board_frame(occ_b, rng)]
+        f1 = [make_board_frame(occ_a, rng), make_board_frame(occ_b, rng)]
+        p0 = np.stack([sr.to_planar(f) for f in f0])
+        p1 = np.stack([sr.to_planar(f) for f in f1])
+
+        ms = MultiStreamPipeline(
+            g, n_streams=2, with_enhancer=True, enhancer_profile=profile,
+        )
+        state = ms.capture_reference(ms.init_state(), p0)
+        state, out = ms.step(state, p1)
+
+        for i, occ in enumerate((occ_a, occ_b)):
+            pipe = VisionPipeline(
+                g, with_enhancer=True, enhancer_profile=profile,
+                donate_state=False,
+            )
+            st = pipe.capture_reference(pipe.init_state(), p0[i])
+            st, o = pipe.step(st, p1[i])
+            for field in o._fields:
+                assert np.array_equal(
+                    np.asarray(getattr(out.step, field)[i]),
+                    np.asarray(getattr(o, field)),
+                ), f"stream {i} field {field}"
+            truth = {(f, r) for f in range(8) for r in range(8) if occ[f, r]}
+            assert occupancy_to_set(np.asarray(out.step.occupancy[i])) == truth
+
+    def test_batched_change_settings_and_overrides_match_single(self, rng):
+        """Tuned sensitivity (change_settings incl. a non-default blur
+        kernel) + calibrator detector_overrides are honored on the scan
+        path, matching the single-stream pipeline bit-for-bit."""
+        from chessboard_vision_tpu.models.pipeline import VisionPipeline
+        from chessboard_vision_tpu.ops import static_resample as sr
+
+        cs = {"z_threshold": 1.8, "alpha": 0.25, "initial_variance": 300.0,
+              "blur_kernel": 7}
+        ov = {"center_diff_threshold": 30.0, "hough_param2": 20}
+        kw = dict(change_settings=cs, detector_overrides=ov)
+        g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS, blur_pad=3)
+        occ = initial_occupancy()
+        f0 = [make_board_frame(occ, rng) for _ in range(2)]
+        f1 = [make_board_frame(occ, rng) for _ in range(2)]
+        p0 = np.stack([sr.to_planar(f) for f in f0])
+        p1 = np.stack([sr.to_planar(f) for f in f1])
+
+        ms = MultiStreamPipeline(g, n_streams=2, **kw)
+        assert ms.pipe.z_threshold == 1.8 and ms.pipe.change_blur == 7
+        assert ms.pipe._det_kwargs == {
+            "center_diff_threshold": 30.0, "hough_param2": 20,
+        }
+        state = ms.capture_reference(ms.init_state(), p0)
+        state, out = ms.step(state, p1)
+
+        for i in range(2):
+            pipe = VisionPipeline(g, donate_state=False, **kw)
+            st = pipe.capture_reference(pipe.init_state(), p0[i])
+            st, o = pipe.step(st, p1[i])
+            for field in o._fields:
+                assert np.array_equal(
+                    np.asarray(getattr(out.step, field)[i]),
+                    np.asarray(getattr(o, field)),
+                ), f"stream {i} field {field}"
+
+    def test_per_stream_geometry_enhanced_matches_singles(self, rng):
+        """Per-stream calibrations + with_enhancer: each stream's color
+        board rides its own tile plan; outputs equal independent
+        VisionPipeline(with_enhancer=True) runs on each geometry."""
+        from chessboard_vision_tpu.models.pipeline import VisionPipeline
+        from chessboard_vision_tpu.ops import static_resample as sr
+
+        profile = {"contrast": 1.05, "brightness": 3}
+        corners_a = DEFAULT_CORNERS
+        corners_b = DEFAULT_CORNERS + np.array([[12, 7], [-9, 5], [7, -6], [-10, -9]])
+        geos = [
+            geo.BoardGeometry.from_calibration(corners_a),
+            geo.BoardGeometry.from_calibration(corners_b),
+        ]
+        occ_a = initial_occupancy()
+        occ_b = initial_occupancy()
+        occ_b[3, 1] = False
+        occ_b[3, 3] = True
+        f0 = [
+            make_board_frame(occ_a, rng, corners=corners_a),
+            make_board_frame(occ_b, rng, corners=corners_b),
+        ]
+        f1 = [
+            make_board_frame(occ_a, rng, corners=corners_a),
+            make_board_frame(occ_b, rng, corners=corners_b),
+        ]
+        p0 = np.stack([sr.to_planar(f) for f in f0])
+        p1 = np.stack([sr.to_planar(f) for f in f1])
+
+        ms = MultiStreamPipeline(
+            geos, n_streams=2, with_enhancer=True, enhancer_profile=profile,
+        )
+        state = ms.capture_reference(ms.init_state(), p0)
+        state, out = ms.step(state, p1)
+
+        for i, (g, occ) in enumerate(zip(geos, (occ_a, occ_b))):
+            pipe = VisionPipeline(
+                g, with_enhancer=True, enhancer_profile=profile,
+                donate_state=False,
+            )
+            st = pipe.capture_reference(pipe.init_state(), p0[i])
+            st, o = pipe.step(st, p1[i])
+            assert np.array_equal(
+                np.asarray(out.step.occupancy[i]), np.asarray(o.occupancy)
+            ), f"stream {i} occupancy"
+            assert np.array_equal(
+                np.asarray(out.step.visual_changes[i]),
+                np.asarray(o.visual_changes),
+            ), f"stream {i} changes"
+            truth = {(f, r) for f in range(8) for r in range(8) if occ[f, r]}
+            assert occupancy_to_set(np.asarray(out.step.occupancy[i])) == truth
+
+
 class TestPerStreamChunkHWC:
     def test_step_chunk_accepts_hwc_in_per_stream_mode(self, rng):
         """step_chunk's documented (T, N, H, W, 3) HWC host input must be
