@@ -167,3 +167,57 @@ def test_session_full_fen_and_verify(rng):
     match, got, want = s.verify_position()
     assert match is True, f"\ngot  {got}\nwant {want}"
     assert want == after.fen().split()[0]
+
+
+@pytest.mark.slow
+def test_promotion_full_fen_sees_queen_on_e8(rng):
+    """The queen-for-pawn radius swap through vision (VERDICT r3 item 6):
+    after e7e8q commits from frames, full_fen()/verify_position() must
+    read a QUEEN on e8 off the detected circle radius — a piece-TYPE
+    change at constant occupancy is exactly what occupancy-FEN clips
+    cannot see. The start position carries a white queen elsewhere so
+    the radius model has a queen centroid to match."""
+    from chessboard_vision_tpu.session.game_session import GameSession
+
+    fen0 = "k7/4P3/8/8/8/8/1Q6/4K3 w - - 0 1"
+    s = GameSession(headless=True)
+    s.MOVE_COOLDOWN = 0.0
+    assert s.on_calibration_requested(None, config={
+        "corners": DEFAULT_CORNERS.tolist(),
+        "player_color": "white",
+        "orientation_flipped": False,
+        "grid_lines_x": None,
+        "grid_lines_y": None,
+    })
+    s.game.set_fen(fen0)
+    start = chess.Board(fen0)
+    maps0 = board_render_maps(start)
+
+    def frame(maps):
+        o, c, r = maps
+        return make_board_frame(o, rng, piece_colors=c, piece_radii=r)
+
+    s.capture_reference_frame(frame(maps0))
+    for _ in range(6):
+        s.on_frame(frame(maps0))
+    cents = s.calibrate_piece_types()
+    assert cents is not None and (1, chess.QUEEN) in cents
+
+    after = chess.Board(fen0)
+    after.push_uci("e7e8q")
+    maps1 = board_render_maps(after)
+    committed = None
+    for _ in range(40):
+        committed = s.on_frame(frame(maps1))
+        if committed:
+            break
+    assert committed is not None and committed.uci() == "e7e8q"
+
+    for _ in range(s._radius_window.maxlen + 2):
+        s.on_frame(frame(maps1))
+    match, got, want = s.verify_position()
+    assert want == after.fen().split()[0]
+    assert match is True, f"\ngot  {got}\nwant {want}"
+    # e8 (rank 8, file e) reads as 'Q' through the vision radius — not a
+    # pawn placeholder and not the pre-promotion 'P'.
+    assert got.split("/")[0] == "k3Q3", got
