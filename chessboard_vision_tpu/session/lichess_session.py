@@ -30,6 +30,13 @@ class LichessSession(GameSession):
         # host app opts in; surface the clock for the HUD.
         self.auto_decline_draws = True
         self.draw_offered_by_opponent = False
+        # Opt-in: when the rules engine says the position is claimable
+        # (50-move / threefold — rules/chesslib.can_claim_draw) on OUR
+        # turn, send the draw offer/claim (lichess grants a claimable
+        # draw immediately). Off by default: claiming is a strategy
+        # decision, not a vision one.
+        self.auto_claim_draws = False
+        self._draw_claimed_at = None  # move count of the last claim sent
         self._initial_fen = None  # gameFull initialFen for from-position games
         # {move_count: (wtime_ms, btime_ms)} snapshots recorded at each
         # server sync — feeds to_pgn's standard %clk annotations.
@@ -187,6 +194,19 @@ class LichessSession(GameSession):
                 last = self.lichess.get_last_move(moves_str)
                 if last:
                     self.log.info("opponent played: %s", last)
+            elif getattr(self, "auto_claim_draws", False):
+                n_moves = len(moves_str.split()) if moves_str else 0
+                if (
+                    getattr(self, "_draw_claimed_at", None) != n_moves
+                    and self.game.board.can_claim_draw()
+                ):
+                    self._draw_claimed_at = n_moves  # once per position
+                    self.log.info(
+                        "position is a claimable draw (%s) — claiming",
+                        "50-move" if self.game.board.can_claim_fifty_moves()
+                        else "threefold",
+                    )
+                    self.lichess.handle_draw_offer(True)
 
     def to_pgn(self, headers=None, comments=None) -> str:
         """PGN with standard {[%clk H:MM:SS]} annotations from the stream's

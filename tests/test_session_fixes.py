@@ -148,3 +148,28 @@ class TestNoiseLiftedRefresh:
             state, data = h.process({(7, 7)})
         assert h.state == NoiseState.MOVE_PENDING
         assert h.last_lifted_square == (7, 7)
+
+
+class TestAutoClaimDraws:
+    def test_claimable_draw_is_claimed_once(self):
+        """auto_claim_draws: a synced position that is a claimable draw
+        (threefold via knight shuffles) sends exactly one draw claim to
+        the API — and only when it is our turn."""
+        s = _bare_lichess_session()
+        s.auto_claim_draws = True
+        shuffle = "g1f3 g8f6 f3g1 f6g8"
+        s._sync_moves(f"{shuffle} {shuffle}")
+        s.lichess.handle_draw_offer.assert_called_once_with(True)
+        # re-syncing the same move list is a no-op (early exit)
+        s._sync_moves(f"{shuffle} {shuffle}")
+        s.lichess.handle_draw_offer.assert_called_once()
+
+    def test_no_claim_when_not_claimable_or_disabled(self):
+        s = _bare_lichess_session()
+        s.auto_claim_draws = True
+        s._sync_moves("e2e4 e7e5")
+        s.lichess.handle_draw_offer.assert_not_called()
+        s2 = _bare_lichess_session()  # default: disabled
+        shuffle = "g1f3 g8f6 f3g1 f6g8"
+        s2._sync_moves(f"{shuffle} {shuffle}")
+        s2.lichess.handle_draw_offer.assert_not_called()
