@@ -35,6 +35,15 @@ from fixtures import (
 HERE = os.path.dirname(os.path.abspath(__file__))
 GAME_CLIP = os.path.join(HERE, "data", "game_clip.avi")
 GAME_TIMELINE = os.path.join(HERE, "data", "game_clip_timeline.json")
+DRIFT_CLIP = os.path.join(HERE, "data", "drift_clip.avi")
+DRIFT_TIMELINE = os.path.join(HERE, "data", "drift_clip_timeline.json")
+
+# Mid-footage camera bump for the drift clip: large enough that the
+# unhealed geometry genuinely misreads the board (a 12 px bump measured
+# as still readable — the cascade sees through it), while staying under
+# the monitor's 80 px misdetection ceiling and inside the frame.
+DRIFT_BUMP = np.array([28.0, 18.0])
+DRIFT_CORNERS_B = np.asarray(DEFAULT_CORNERS, np.float64) + DRIFT_BUMP
 
 
 def _occ(board):
@@ -147,35 +156,154 @@ def test_committed_game_clip_matches_pinned_timeline():
     assert n == pinned["frames_processed"]
 
 
+def _drift_clip_frames():
+    """Scripted game with a mid-footage CAMERA BUMP: e2e4 at the original
+    corners, then every later frame is shot from the bumped rig, and e7e5
+    is only readable after the session self-heals its geometry
+    (VERDICT r3 item 6: the drift path on recorded video bytes)."""
+    rng = np.random.default_rng(31)
+    board = chess.Board()
+    frames = [make_board_frame(_occ(board), rng) for _ in range(7)]
+    board.push_uci("e2e4")
+    frames += [make_board_frame(_occ(board), rng) for _ in range(26)]
+    # the bump: same position, shifted corners
+    frames += [
+        make_board_frame(_occ(board), rng, corners=DRIFT_CORNERS_B)
+        for _ in range(18)
+    ]
+    board.push_uci("e7e5")
+    frames += [
+        make_board_frame(_occ(board), rng, corners=DRIFT_CORNERS_B)
+        for _ in range(26)
+    ]
+    return frames, board
+
+
+def _drift_config():
+    return {
+        **_clip_config(),
+        "auto_recalibrate": True,
+        "drift_check_interval": 6,
+        "drift_confirm_checks": 2,
+    }
+
+
+def _run_drift_clip():
+    """process_video over the drift clip with --auto-recalibrate
+    semantics; returns (moves, fen, n, session) so callers can assert the
+    geometry really was rebuilt."""
+    from chessboard_vision_tpu.session.game_session import GameSession
+
+    session = GameSession(headless=True)
+    session.MOVE_COOLDOWN = 0.0
+    moves, fen, n = run(
+        DRIFT_CLIP, _drift_config(), skip_frames=1, session=session
+    )
+    return moves, fen, n, session
+
+
+@pytest.mark.slow
+def test_drift_clip_recalibrates_and_matches_pinned_timeline():
+    """The committed drift-bump MJPG plays frame-to-FEN through
+    process_video with auto-recalibration: e2e4 commits at the original
+    corners, the bump is detected and the geometry rebuilt mid-footage,
+    and e7e5 commits at the NEW corners — all against a pinned timeline."""
+    if not (os.path.exists(DRIFT_CLIP) and os.path.exists(DRIFT_TIMELINE)):
+        pytest.skip("committed drift clip/timeline missing (regen: python tests/test_process_video.py --regen drift)")
+    with open(DRIFT_TIMELINE) as fh:
+        pinned = json.load(fh)
+    if _decoded_clip_hash(DRIFT_CLIP) != pinned["decoded_sha256"]:
+        pytest.skip("MJPG decodes differently from the pinning environment")
+    out_moves, fen, n, session = _run_drift_clip()
+    assert out_moves == pinned["moves"]
+    assert fen == pinned["final_fen"]
+    assert n == pinned["frames_processed"]
+    # the session's corners must have moved to (about) the bumped rig
+    got = np.asarray(session.config["corners"], np.float64)
+    assert np.abs(got - DRIFT_CORNERS_B).max() <= 2.0, got - DRIFT_CORNERS_B
+
+
 if __name__ == "__main__":
     if "--regen" in sys.argv:
+        # Direct-script runs bypass tests/conftest.py: force the CPU
+        # platform via jax.config BEFORE any jax use (the only form that
+        # skips axon plugin init — with a dead tunnel relay everything
+        # else hangs, CLAUDE.md). Decisions are cross-backend
+        # deterministic (measured round 3), so CPU-pinned timelines are
+        # identical to TPU ones.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         import cv2
 
+        picked = [a for a in sys.argv[1:] if not a.startswith("-")]
+        do_game = not picked or "game" in picked
+        do_drift = not picked or "drift" in picked
         os.makedirs(os.path.dirname(GAME_CLIP), exist_ok=True)
-        frames, board = _game_clip_frames()
-        h, w = frames[0].shape[:2]
-        vw = cv2.VideoWriter(GAME_CLIP, cv2.VideoWriter_fourcc(*"MJPG"), 30, (w, h))
-        assert vw.isOpened()
-        try:
-            vw.set(cv2.VIDEOWRITER_PROP_QUALITY, 85)
-        except AttributeError:
-            pass
-        for f in frames:
-            vw.write(f)
-        vw.release()
-        size_mb = os.path.getsize(GAME_CLIP) / 1e6
-        print(f"wrote {GAME_CLIP} ({len(frames)} frames, {size_mb:.1f} MB)")
 
-        out_moves, fen, n = run(GAME_CLIP, _clip_config(), skip_frames=1)
-        expected_final = board.fen()
-        assert out_moves == ["e2e4", "e7e5"], out_moves
-        assert fen == expected_final, (fen, expected_final)
-        payload = {
-            "moves": out_moves,
-            "final_fen": fen,
-            "frames_processed": n,
-            "decoded_sha256": _decoded_clip_hash(GAME_CLIP),
-        }
-        with open(GAME_TIMELINE, "w") as fh:
-            json.dump(payload, fh, indent=1)
-        print(f"pinned timeline -> {GAME_TIMELINE}: {payload['moves']} {fen}")
+        def write_mjpg(path, clip_frames):
+            h, w = clip_frames[0].shape[:2]
+            vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (w, h))
+            assert vw.isOpened()
+            try:
+                vw.set(cv2.VIDEOWRITER_PROP_QUALITY, 85)
+            except AttributeError:
+                pass
+            for f in clip_frames:
+                vw.write(f)
+            vw.release()
+            print(f"wrote {path} ({len(clip_frames)} frames, "
+                  f"{os.path.getsize(path) / 1e6:.1f} MB)")
+
+        if do_game:
+            frames, board = _game_clip_frames()
+            write_mjpg(GAME_CLIP, frames)
+            out_moves, fen, n = run(GAME_CLIP, _clip_config(), skip_frames=1)
+            expected_final = board.fen()
+            assert out_moves == ["e2e4", "e7e5"], out_moves
+            assert fen == expected_final, (fen, expected_final)
+            payload = {
+                "moves": out_moves,
+                "final_fen": fen,
+                "frames_processed": n,
+                "decoded_sha256": _decoded_clip_hash(GAME_CLIP),
+            }
+            with open(GAME_TIMELINE, "w") as fh:
+                json.dump(payload, fh, indent=1)
+            print(f"pinned timeline -> {GAME_TIMELINE}: {payload['moves']} {fen}")
+
+        if do_drift:
+            dframes, dboard = _drift_clip_frames()
+            write_mjpg(DRIFT_CLIP, dframes)
+
+            # Oracle discipline: WITHOUT auto-recalibration the bumped half
+            # of the footage must NOT produce the second move — proving the
+            # bump actually breaks detection and the committed timeline's
+            # e7e5 is the drift healer's doing.
+            from chessboard_vision_tpu.session.game_session import GameSession
+
+            base_session = GameSession(headless=True)
+            base_session.MOVE_COOLDOWN = 0.0
+            base_moves, _, _ = run(
+                DRIFT_CLIP, _clip_config(), skip_frames=1, session=base_session
+            )
+            assert "e7e5" not in base_moves, (
+                f"bump did not break detection (moves without healing: {base_moves})"
+            )
+            print(f"without auto-recalibrate: {base_moves} (e7e5 unreadable, as intended)")
+
+            out_moves, fen, n, session = _run_drift_clip()
+            expected_final = dboard.fen()
+            assert out_moves == ["e2e4", "e7e5"], out_moves
+            assert fen == expected_final, (fen, expected_final)
+            got = np.asarray(session.config["corners"], np.float64)
+            assert np.abs(got - DRIFT_CORNERS_B).max() <= 2.0, got - DRIFT_CORNERS_B
+            payload = {
+                "moves": out_moves,
+                "final_fen": fen,
+                "frames_processed": n,
+                "decoded_sha256": _decoded_clip_hash(DRIFT_CLIP),
+            }
+            with open(DRIFT_TIMELINE, "w") as fh:
+                json.dump(payload, fh, indent=1)
+            print(f"pinned timeline -> {DRIFT_TIMELINE}: {payload['moves']} {fen}")

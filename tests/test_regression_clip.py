@@ -379,6 +379,12 @@ def test_exact_vs_conv_backend_agreement(name):
 
 if __name__ == "__main__":
     if "--regen" in sys.argv:
+        # Force CPU via jax.config (direct runs bypass conftest; with a
+        # dead tunnel relay only this form avoids hanging in plugin init,
+        # and goldens are cross-backend deterministic — measured round 3).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         picked = [a for a in sys.argv[1:] if not a.startswith("-")]
         todo = {n: CLIPS[n] for n in picked} if picked else CLIPS
         for name, (clip_fn, golden_path) in todo.items():
