@@ -209,3 +209,52 @@ def test_huge_shift_is_treated_as_misdetection():
     far = np.asarray(DEFAULT_CORNERS, np.float64) + np.array([[120, 0]] * 4)
     for _ in range(4):
         assert mon.check(make_board_frame(occ, rng, corners=far)) is None
+
+
+def test_enhanced_session_survives_per_stream_rebuild():
+    """with_enhancer composes with drift recalibration: a bumped rig
+    forces the batched session into per-stream-geometry mode, where the
+    enhancer's color warp must ride PER-STREAM tile plans (the round-4
+    extraction path) — both streams keep committing moves after the
+    rebuild with the enhancement still fused in."""
+    from chessboard_vision_tpu import geometry as geo
+    from chessboard_vision_tpu.parallel.session import MultiStreamSession
+
+    rng = np.random.default_rng(13)
+    g = geo.BoardGeometry.from_calibration(np.asarray(DEFAULT_CORNERS))
+    sess = MultiStreamSession(
+        g, n_streams=2,
+        auto_recalibrate=True, drift_check_interval=4, drift_confirm=2,
+        with_enhancer=True,
+        enhancer_profile={"contrast": 1.05, "brightness": 3},
+    )
+    sess.STABILITY_REQUIRED = 4
+    sess.MOVE_COOLDOWN = 0.0
+    assert sess.ms.pipe.with_enhancer
+
+    occ = initial_occupancy()
+
+    def frames(occ0, occ1, c0=DEFAULT_CORNERS, c1=DEFAULT_CORNERS):
+        return np.stack([
+            make_board_frame(occ0, rng, corners=c0),
+            make_board_frame(occ1, rng, corners=c1),
+        ])
+
+    sess.capture_reference(frames(occ, occ))
+    for _ in range(5):
+        assert sess.on_frames(frames(occ, occ)) == [None, None]
+
+    bumped = np.asarray(DEFAULT_CORNERS, np.float64) + BUMP
+    for _ in range(10):  # >= 2 drift checks at interval 4
+        sess.on_frames(frames(occ, occ, c0=bumped))
+    assert sess.ms._stream_plans is not None, "no per-stream rebuild"
+    assert sess.ms.pipe.with_enhancer, "enhancer lost across the rebuild"
+
+    occ_after = occ.copy()
+    occ_after[4, 1] = False
+    occ_after[4, 3] = True
+    committed = [None, None]
+    for _ in range(14):
+        moves = sess.on_frames(frames(occ_after, occ_after, c0=bumped))
+        committed = [m or c for m, c in zip(moves, committed)]
+    assert [m and m.uci() for m in committed] == ["e2e4", "e2e4"]
