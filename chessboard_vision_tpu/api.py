@@ -238,6 +238,8 @@ def digitize_video(
     return {
         "moves": list(moves),
         "fen": fen,
-        "pgn": game_to_pgn(moves, headers=pgn_headers),
+        # claim_draws: the recording IS the whole game, so a final
+        # claimable-draw position is the game's actual ending.
+        "pgn": game_to_pgn(moves, headers=pgn_headers, claim_draws=True),
         "frames": n,
     }

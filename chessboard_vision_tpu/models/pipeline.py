@@ -294,12 +294,7 @@ class VisionPipeline:
                 )  # (3, B, B) u8
             else:
                 board = jnp.moveaxis(warp_ops.frame_to_board(frame, consts.dg), -1, 0)
-            board = enhance_planar(
-                board, self.enhancer_profile, bilateral_backend=self.bilateral_backend
-            )
-            grayb = planar_bgr2gray(board)  # (B, B) u8
-            grayb = jnp.pad(grayb, ((0, 1), (0, 1)), mode="edge")
-            gray_padded = mr.resample_gray_u8(grayb, consts.enh_ext_plan, self._ext_dims)
+            gray_padded = self._enhanced_board_squares(board, consts.enh_ext_plan)
         elif planar_in:
             gray_frame = planar_bgr2gray(frame)
             gray_padded = mr.resample_gray_u8(gray_frame, consts.mm_plan, self._mm_dims)
@@ -313,6 +308,22 @@ class VisionPipeline:
         else:
             gray_cd = gray
         return gray, gray_cd
+
+    def _enhanced_board_squares(
+        self, board: jnp.ndarray, ext_plan
+    ) -> jnp.ndarray:
+        """Warped color board (3, B, B) u8 -> enhanced PADDED gray squares
+        (64, H+2p, W+2p) u8: the enhance -> grayscale -> edge-pad ->
+        board-space extraction tail of the enhancer preprocess. The SINGLE
+        source of this sequence — the batched path (parallel/multistream
+        ``_extract_squares_per_stream``) calls it per stream, so
+        single-stream/batched bit-parity is structural, not by-comment."""
+        board = enhance_planar(
+            board, self.enhancer_profile, bilateral_backend=self.bilateral_backend
+        )
+        grayb = planar_bgr2gray(board)  # (B, B) u8
+        grayb = jnp.pad(grayb, ((0, 1), (0, 1)), mode="edge")
+        return mr.resample_gray_u8(grayb, ext_plan, self._ext_dims)
 
     def _step_impl(
         self,

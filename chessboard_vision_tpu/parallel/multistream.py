@@ -332,28 +332,20 @@ class MultiStreamPipeline:
         from chessboard_vision_tpu.ops.filters import gaussian_blur_valid
 
         if self.pipe.with_enhancer:
-            from chessboard_vision_tpu.models.enhancer import enhance_planar
-
             bsize = self.pipe.geometry.board_size
-            grayb = jnp.stack([
-                planar_bgr2gray(
-                    enhance_planar(
-                        mr.warp_board_color(
-                            frames[i], plan, dims,
-                            self.pipe._tile_starts, bsize,
-                        ),
-                        self.pipe.enhancer_profile,
-                        bilateral_backend=self.pipe.bilateral_backend,
-                    )
+            # Each stream warps with ITS tile plan, then runs the
+            # pipeline's own enhance->gray->pad->extract tail
+            # (VisionPipeline._enhanced_board_squares) — one copy of the
+            # sequence, so single-stream/batched bit-parity is structural.
+            squares = jnp.stack([
+                self.pipe._enhanced_board_squares(
+                    mr.warp_board_color(
+                        frames[i], plan, dims,
+                        self.pipe._tile_starts, bsize,
+                    ),
+                    consts.enh_ext_plan,
                 )
                 for i, (plan, dims) in enumerate(zip(plan_arrays, self._plan_dims))
-            ])  # (N, B, B)
-            grayb = jnp.pad(grayb, ((0, 0), (0, 1), (0, 1)), mode="edge")
-            squares = jnp.stack([
-                mr.resample_gray_u8(
-                    grayb[i], consts.enh_ext_plan, self.pipe._ext_dims
-                )
-                for i in range(self.n_streams)
             ])  # (N, 64, H+2p, W+2p)
         else:
             gray_frames = planar_bgr2gray(frames)  # (N, Hf, Wf)

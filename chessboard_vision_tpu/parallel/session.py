@@ -224,7 +224,7 @@ class MultiStreamSession:
         # scan) — see session/inference.py.
         return infer_move_from_diff(st.game, missing, extra, vision, log=self.log)
 
-    def to_pgn(self, stream: int, headers=None) -> str:
+    def to_pgn(self, stream: int, headers=None, claim_draws=False) -> str:
         """PGN document for one stream's digitized game (rules/pgn.py)."""
         from chessboard_vision_tpu.rules.chesslib import STARTING_FEN
         from chessboard_vision_tpu.rules.pgn import game_to_pgn
@@ -235,6 +235,7 @@ class MultiStreamSession:
             [m.uci() for m in st.game.board.move_stack],
             headers=headers,
             start_fen=None if start == STARTING_FEN else start,
+            claim_draws=claim_draws,
         )
 
     # -- checkpoint / resume ----------------------------------------------

@@ -409,6 +409,15 @@ class Board:
     def can_claim_draw(self) -> bool:
         return self.can_claim_fifty_moves() or self.can_claim_threefold_repetition()
 
+    def is_seventyfive_moves(self) -> bool:
+        """FIDE 9.6b AUTOMATIC draw: 150 halfmoves without pawn move or
+        capture (a mate delivered by the 150th halfmove still wins)."""
+        return self.halfmove_clock >= 150 and any(self._generate_legal_moves())
+
+    def is_fivefold_repetition(self) -> bool:
+        """FIDE 9.6a AUTOMATIC draw: the same position five times."""
+        return self.is_repetition(5)
+
     def is_insufficient_material(self) -> bool:
         """Dead-position material test (python-chess semantics): K vs K,
         a single minor piece, or bishops-only all on one square color."""
@@ -431,6 +440,11 @@ class Board:
         if not any(self._generate_legal_moves()):
             return True  # checkmate or stalemate
         if self.is_insufficient_material():
+            return True
+        # Automatic FIDE 9.6 terminations end the game without a claim
+        # (legal moves are known to exist here, so the seventyfive-moves
+        # mate carve-out is already satisfied).
+        if self.halfmove_clock >= 150 or self.is_fivefold_repetition():
             return True
         return claim_draw and self.can_claim_draw()
 

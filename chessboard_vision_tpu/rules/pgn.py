@@ -85,15 +85,25 @@ def _disambiguation(board: Board, move: Move, piece_type: int) -> str:
     return _FILES[f] + _RANKS[r]
 
 
-def _result(board: Board) -> str:
+def _result(board: Board, claim_draws: bool = False) -> str:
     if not list(board.legal_moves):
         if not board.is_check():
             return "1/2-1/2"  # stalemate
         return "0-1" if board.turn == chess.WHITE else "1-0"
-    # Draw adjudication (VERDICT r3 item 7): a digitized game ending in a
-    # dead position, 50-move exhaustion, or threefold repetition exports
-    # 1/2-1/2 — the python-chess surface the reference inherited.
-    if board.is_insufficient_material() or board.can_claim_draw():
+    # Draw adjudication (VERDICT r3 item 7): AUTOMATIC terminations —
+    # dead position, seventy-five moves, fivefold repetition (FIDE 9.6)
+    # — always export 1/2-1/2. Merely CLAIMABLE draws (50-move /
+    # threefold) are a claim RIGHT, not an outcome: a game can be lost
+    # on time or resigned at a claimable position, so they adjudicate
+    # only when the caller asserts the game genuinely ended here
+    # (python-chess result(claim_draw=...) semantics).
+    if (
+        board.is_insufficient_material()
+        or board.is_seventyfive_moves()
+        or board.is_fivefold_repetition()
+    ):
+        return "1/2-1/2"
+    if claim_draws and board.can_claim_draw():
         return "1/2-1/2"
     return "*"
 
@@ -104,6 +114,7 @@ def game_to_pgn(
     start_fen: Optional[str] = None,
     result: Optional[str] = None,
     comments: Optional[dict] = None,
+    claim_draws: bool = False,
 ) -> str:
     """Serialize a UCI move sequence to a PGN string.
 
@@ -112,7 +123,11 @@ def game_to_pgn(
     result overrides the auto-derived termination (e.g. '1-0' on a
     resignation the move list can't show); comments maps 0-based move
     indices to brace-comment text (e.g. '[%clk 0:04:32]' — emitted as
-    {...} after the move, the standard clock-annotation form).
+    {...} after the move, the standard clock-annotation form);
+    claim_draws adjudicates a final position that is a CLAIMABLE draw
+    (50-move / threefold) as 1/2-1/2 — set it when the move list is the
+    whole game (e.g. a fully digitized recording), leave it off when the
+    game may have ended another way (time, resignation, still running).
     """
     board = Board(start_fen) if start_fen else Board()
     sans = []
@@ -123,7 +138,7 @@ def game_to_pgn(
         sans.append(san(board, move))
         board.push(move)
 
-    res = result or _result(board)
+    res = result or _result(board, claim_draws)
     tags = {
         "Event": "chessboard_vision_tpu digitized game",
         "Site": "?",

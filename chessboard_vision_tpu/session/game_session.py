@@ -538,9 +538,14 @@ class GameSession:
         self.log.info("checkpoint resumed: %s (FEN %s)", path, meta["fen"])
         return meta
 
-    def to_pgn(self, headers=None, comments=None) -> str:
+    def to_pgn(self, headers=None, comments=None, result=None,
+               claim_draws=False) -> str:
         """The digitized game as a PGN document (rules/pgn.py) — the
-        portable record the reference never produced."""
+        portable record the reference never produced. ``result`` overrides
+        the position-derived termination (a subclass that KNOWS the
+        outcome — e.g. LichessSession from the server status — passes it);
+        ``claim_draws`` adjudicates a final claimable-draw position as
+        1/2-1/2 (only set when the move list is the whole game)."""
         from chessboard_vision_tpu.rules.pgn import game_to_pgn
 
         with self.board_lock:
@@ -558,7 +563,7 @@ class GameSession:
             return game_to_pgn(
                 moves, headers=tags,
                 start_fen=None if start == STARTING_FEN else start,
-                comments=comments,
+                result=result, comments=comments, claim_draws=claim_draws,
             )
 
     def clock_hud(self) -> str:

@@ -38,6 +38,13 @@ class LichessSession(GameSession):
         self.auto_claim_draws = False
         self._draw_claimed_at = None  # move count of the last claim sent
         self._initial_fen = None  # gameFull initialFen for from-position games
+        # Terminal status/winner from the stream ("mate", "resign",
+        # "outoftime", "draw", ... + "white"/"black"): to_pgn derives the
+        # Result tag from the SERVER's adjudication, never from the final
+        # position alone (a claimable position proves nothing about how
+        # the game actually ended).
+        self._final_status = None
+        self._winner = None
         # {move_count: (wtime_ms, btime_ms)} snapshots recorded at each
         # server sync — feeds to_pgn's standard %clk annotations.
         self.clock_history = {}
@@ -102,6 +109,8 @@ class LichessSession(GameSession):
                     # Joined an already-finished game: no further
                     # gameState will arrive to end the session.
                     self.log.info("game already finished: %s", status)
+                    self._final_status = status
+                    self._winner = state.get("winner")
                     self._sync_moves(state.get("moves", ""))
                     self.stop_event.set()
                     continue
@@ -110,6 +119,11 @@ class LichessSession(GameSession):
                 status = event.get("status")
                 if status != "started":
                     self.log.info("game finished: %s", status)
+                    self._final_status = status
+                    self._winner = event.get("winner")
+                    # The terminal event CARRIES the final move (e.g. the
+                    # mate) — sync it so the local board/PGN are complete.
+                    self._sync_moves(event.get("moves", ""))
                     self.stop_event.set()
                 else:
                     self._handle_draw_flags(event)
@@ -160,6 +174,7 @@ class LichessSession(GameSession):
         board."""
         if moves_str == self.last_lichess_moves:
             return
+        claim_kind = None  # set under the lock, POSTed after it (below)
         with self.board_lock:
             if moves_str == self.last_lichess_moves:
                 return
@@ -194,19 +209,29 @@ class LichessSession(GameSession):
                 last = self.lichess.get_last_move(moves_str)
                 if last:
                     self.log.info("opponent played: %s", last)
-            elif getattr(self, "auto_claim_draws", False):
+            elif (
+                getattr(self, "auto_claim_draws", False)
+                and getattr(self, "_final_status", None) is None
+            ):
                 n_moves = len(moves_str.split()) if moves_str else 0
                 if (
                     getattr(self, "_draw_claimed_at", None) != n_moves
                     and self.game.board.can_claim_draw()
                 ):
                     self._draw_claimed_at = n_moves  # once per position
-                    self.log.info(
-                        "position is a claimable draw (%s) — claiming",
+                    claim_kind = (
                         "50-move" if self.game.board.can_claim_fifty_moves()
-                        else "threefold",
+                        else "threefold"
                     )
-                    self.lichess.handle_draw_offer(True)
+        if claim_kind is not None:
+            # OUTSIDE board_lock: the claim is a blocking HTTP POST (up to
+            # the client's 10 s timeout) — holding the lock here would
+            # stall the vision thread's per-frame inference for the
+            # duration (same discipline as _handle_draw_flags' decline).
+            self.log.info(
+                "position is a claimable draw (%s) — claiming", claim_kind
+            )
+            self.lichess.handle_draw_offer(True)
 
     def to_pgn(self, headers=None, comments=None) -> str:
         """PGN with standard {[%clk H:MM:SS]} annotations from the stream's
@@ -236,9 +261,25 @@ class LichessSession(GameSession):
         tags = {"Site": "https://lichess.org", "Event": "Lichess game"}
         if self.game_id:
             tags["Site"] = f"https://lichess.org/{self.game_id}"
+        # Result from the SERVER's adjudication (time losses, resignations
+        # and agreed/claimed draws are invisible in the move list; deriving
+        # them from the final position would be wrong).
+        result = None
+        status = getattr(self, "_final_status", None)
+        if status and status not in ("aborted", "noStart", "unknownFinish"):
+            winner = getattr(self, "_winner", None)
+            if winner == "white":
+                result = "1-0"
+            elif winner == "black":
+                result = "0-1"
+            else:
+                result = "1/2-1/2"
+            tags["Termination"] = status
         if headers:
-            tags.update(headers)
-        return super().to_pgn(headers=tags, comments=clk_comments or None)
+            tags.update(headers)  # caller overrides, incl. Termination/Result
+        return super().to_pgn(
+            headers=tags, comments=clk_comments or None, result=result
+        )
 
     def on_exit(self):
         self.stop_event.set()

@@ -160,7 +160,8 @@ def main(argv=None):
 
         with open(args.pgn, "w") as f:
             f.write(game_to_pgn(moves,  # run() returns UCI strings
-                                headers={"Event": "digitized recording"}))
+                                headers={"Event": "digitized recording"},
+                                claim_draws=True))  # the clip is the whole game
         print(f"PGN written to {args.pgn}")
     return 0
 

@@ -45,11 +45,14 @@ def load_tree(path: str, template: Any) -> Tuple[Any, dict]:
             arr = data[f"leaf_{i}"]
             want_shape = tuple(np.shape(tmpl))
             if arr.shape != want_shape:
-                if arr.ndim == 0:
-                    # Legacy-format leaf: a state field later widened from
-                    # scalar to vector (e.g. ChangeModelState.calibrated,
+                if arr.ndim == 0 and arr.dtype == np.bool_ == np.asarray(tmpl).dtype:
+                    # Legacy-format leaf: a bool FLAG field later widened
+                    # from scalar to vector (ChangeModelState.calibrated,
                     # () -> (64,)) broadcasts losslessly — old checkpoints
-                    # stay resumable (ADVICE r3).
+                    # stay resumable (ADVICE r3). Scoped to matching bool
+                    # dtypes only: silently broadcasting an arbitrary
+                    # scalar would mask genuinely incompatible checkpoints
+                    # whose flattened leaf order shifted.
                     arr = np.broadcast_to(arr, want_shape).copy()
                 else:
                     raise ValueError(

@@ -173,6 +173,32 @@ class TestDrawAdjudication:
         assert not Board("kb6/8/8/8/8/8/8/KB6 w - - 0 1").is_insufficient_material()
         assert not Board("k7/p7/8/8/8/8/8/K7 w - - 0 1").is_insufficient_material()
 
+    def test_automatic_draw_predicates(self):
+        """FIDE 9.6 AUTOMATIC forms — seventy-five moves and fivefold
+        repetition — end the game without a claim (python-chess mirror:
+        is_game_over() is True even with claim_draw=False)."""
+        b = Board("k7/8/8/8/8/8/8/K6R w - - 149 110")
+        assert not b.is_seventyfive_moves()
+        b.push_uci("h1h2")
+        assert b.is_seventyfive_moves()
+        assert b.is_game_over()
+        # a mate delivered on the 150th halfmove still wins
+        m = Board("k7/8/1K6/8/8/8/8/7R w - - 149 110")
+        m.push_uci("h1h8")
+        assert m.is_checkmate() and not m.is_seventyfive_moves()
+
+        b = Board()
+        shuffle = ["g1f3", "g8f6", "f3g1", "f6g8"]
+        for _ in range(3):
+            for u in shuffle:
+                b.push_uci(u)
+        assert not b.is_fivefold_repetition()  # 4th occurrence
+        assert not b.is_game_over()
+        for u in shuffle:
+            b.push_uci(u)
+        assert b.is_fivefold_repetition()
+        assert b.is_game_over()
+
     def test_checkmate_stalemate_predicates(self):
         # fool's mate: 1.f3 e5 2.g4 Qh4#
         assert Board(

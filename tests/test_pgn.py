@@ -260,20 +260,42 @@ def test_stalemate_result():
 
 
 def test_threefold_repetition_result():
-    """A digitized game ending in threefold repetition exports 1/2-1/2
-    (VERDICT r3 item 7)."""
+    """A fully digitized game ending in threefold repetition exports
+    1/2-1/2 under claim_draws (VERDICT r3 item 7)."""
     moves = ["g1f3", "g8f6", "f3g1", "f6g8"] * 2
-    pgn = game_to_pgn(moves)
+    pgn = game_to_pgn(moves, claim_draws=True)
     assert '[Result "1/2-1/2"]' in pgn
     assert pgn.rstrip().endswith("1/2-1/2")
     # one shuffle short of the third occurrence: still ongoing
-    assert '[Result "*"]' in game_to_pgn(moves[:4])
+    assert '[Result "*"]' in game_to_pgn(moves[:4], claim_draws=True)
+
+
+def test_claimable_draw_not_adjudicated_by_default():
+    """A claim RIGHT is not an outcome: without claim_draws a final
+    claimable position stays '*' (the game may have ended on time or by
+    resignation — only the caller knows)."""
+    moves = ["g1f3", "g8f6", "f3g1", "f6g8"] * 2
+    assert '[Result "*"]' in game_to_pgn(moves)
+    fen = "k7/8/8/8/8/8/8/K6R w - - 99 80"
+    assert '[Result "*"]' in game_to_pgn(["h1h2"], start_fen=fen)
+    # an explicit result always wins
+    pgn = game_to_pgn(moves, result="0-1")
+    assert '[Result "0-1"]' in pgn
 
 
 def test_fifty_move_result():
     fen = "k7/8/8/8/8/8/8/K6R w - - 99 80"
-    pgn = game_to_pgn(["h1h2"], start_fen=fen)
+    pgn = game_to_pgn(["h1h2"], start_fen=fen, claim_draws=True)
     assert '[Result "1/2-1/2"]' in pgn
+
+
+def test_automatic_draws_need_no_claim():
+    """FIDE 9.6 AUTOMATIC terminations (seventy-five moves, fivefold
+    repetition) adjudicate even without claim_draws."""
+    fen = "k7/8/8/8/8/8/8/K6R w - - 149 110"
+    assert '[Result "1/2-1/2"]' in game_to_pgn(["h1h2"], start_fen=fen)
+    moves = ["g1f3", "g8f6", "f3g1", "f6g8"] * 4  # fivefold (start counts)
+    assert '[Result "1/2-1/2"]' in game_to_pgn(moves)
 
 
 def test_insufficient_material_result():

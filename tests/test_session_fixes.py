@@ -173,3 +173,102 @@ class TestAutoClaimDraws:
         shuffle = "g1f3 g8f6 f3g1 f6g8"
         s2._sync_moves(f"{shuffle} {shuffle}")
         s2.lichess.handle_draw_offer.assert_not_called()
+
+    def test_no_claim_on_terminal_sync(self):
+        """The terminal gameState's sync must not claim a draw in a game
+        the server already ended."""
+        s = _bare_lichess_session()
+        s.auto_claim_draws = True
+        s._final_status = "outoftime"
+        shuffle = "g1f3 g8f6 f3g1 f6g8"
+        s._sync_moves(f"{shuffle} {shuffle}")
+        s.lichess.handle_draw_offer.assert_not_called()
+
+    def test_claim_post_runs_outside_board_lock(self):
+        """The draw-claim HTTP POST must NOT hold board_lock (a blocking
+        request under the lock would stall the vision thread's per-frame
+        inference for up to the client timeout)."""
+        import threading
+
+        s = _bare_lichess_session()
+        s.auto_claim_draws = True
+        lock_free = []
+
+        def probe_lock(accept):
+            # from ANOTHER thread (RLock is reentrant, so probing from
+            # this one would always succeed): can the lock be taken
+            # while the POST is in flight?
+            def probe():
+                ok = s.board_lock.acquire(timeout=1)
+                lock_free.append(ok)
+                if ok:
+                    s.board_lock.release()
+
+            t = threading.Thread(target=probe)
+            t.start()
+            t.join()
+
+        s.lichess.handle_draw_offer.side_effect = probe_lock
+        shuffle = "g1f3 g8f6 f3g1 f6g8"
+        s._sync_moves(f"{shuffle} {shuffle}")
+        s.lichess.handle_draw_offer.assert_called_once_with(True)
+        assert lock_free == [True]
+
+
+class TestServerResult:
+    """to_pgn's Result tag comes from the SERVER's adjudication — a final
+    position that merely allows a draw claim proves nothing about how the
+    game ended (it may have been lost on time or resigned)."""
+
+    def _pgn_ready(self):
+        s = _bare_lichess_session()
+        s.player_color = "white"
+        s.game_id = "abc123"
+        s.clock_history = {}
+        s.lichess.clock = None  # no %clk snapshots in these tests
+        return s
+
+    def test_result_from_final_status(self):
+        s = self._pgn_ready()
+        s._sync_moves("e2e4 e7e5")
+        s._final_status = "resign"
+        s._winner = "black"
+        pgn = s.to_pgn()
+        assert '[Result "0-1"]' in pgn
+        assert '[Termination "resign"]' in pgn
+
+    def test_draw_status_and_no_status(self):
+        s = self._pgn_ready()
+        s._sync_moves("e2e4 e7e5")
+        s._final_status = "draw"
+        s._winner = None
+        assert '[Result "1/2-1/2"]' in s.to_pgn()
+        s2 = self._pgn_ready()  # still running: no adjudication
+        s2._final_status = None
+        s2._winner = None
+        s2._sync_moves("e2e4 e7e5")
+        assert '[Result "*"]' in s2.to_pgn()
+
+    def test_terminal_gamestate_carries_final_move(self):
+        """The terminal gameState event CARRIES the final move (e.g. the
+        mate); the stream handler must sync it before stopping."""
+        import threading
+
+        s = self._pgn_ready()
+        s.stop_event = threading.Event()
+        s.my_color = "white"
+        s.auto_decline_draws = False
+        s.draw_offered_by_opponent = False
+        events = [
+            {"type": "gameState", "status": "started",
+             "moves": "f2f3 e7e5 g2g4"},
+            {"type": "gameState", "status": "mate", "winner": "black",
+             "moves": "f2f3 e7e5 g2g4 d8h4"},
+        ]
+        s.lichess.stream_game_with_reconnect.return_value = iter(events)
+        s._stream_task()
+        assert s.game.board.is_checkmate()
+        assert s._final_status == "mate" and s._winner == "black"
+        pgn = s.to_pgn()
+        assert '[Result "0-1"]' in pgn
+        assert "Qh4#" in pgn
