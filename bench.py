@@ -407,16 +407,6 @@ def main():
         from chessboard_vision_tpu.parallel import MultiStreamPipeline
         from chessboard_vision_tpu import geometry as geo
 
-        if n >= 32:
-            # The single-chip batched tick is a flat lax.scan over the
-            # stream axis; flat scans of length >= 32 hang this
-            # environment's remote compiler forever (CLAUDE.md) — a hang
-            # the surrounding try/except cannot catch. Raise instead.
-            raise RuntimeError(
-                f"{n}-stream flat scan >= 32 would hang the remote "
-                "compiler — skipped (env limit, see CLAUDE.md)"
-            )
-
         ms = MultiStreamPipeline(
             geo.BoardGeometry.from_calibration(corners, display_size=(w, h)),
             n_streams=n, with_enhancer=with_enh,
@@ -490,17 +480,10 @@ def main():
         # Scaling datapoint: 2N streams (the scan path's claimed linear
         # scaling — VERDICT r3 item 5). Chunk sized to bound the buffer.
         n2 = 2 * n
-        if n2 < 32:
-            t2 = max(2, min(K, 256 // n2))
-            extras[f"batched_{n2}stream_fps"] = bench_batched(
-                n2, t2, 4, f"{n2}-stream (chunk {t2})"
-            )
-        else:
-            extras["batched_2n_skipped"] = (
-                f"2N={n2}: flat stream scan >= 32 hangs the remote "
-                "compiler (env limit)"
-            )
-            log(f"2N datapoint skipped: {extras['batched_2n_skipped']}")
+        t2 = max(2, min(K, 256 // n2))
+        extras[f"batched_{n2}stream_fps"] = bench_batched(
+            n2, t2, 4, f"{n2}-stream (chunk {t2})"
+        )
     except Exception as e:  # secondary metric must not break the bench
         log(f"batched bench skipped: {e}")
 

@@ -221,7 +221,14 @@ class MultiStreamPipeline:
             xs = (state.pipe, state.noise, frames_or_gray, s2c_mask, s2c_given, refresh)
             if has_cd:
                 xs = xs + (gray_cd,)
-            _, (pipe_s, noise_s, outs, nouts) = jax.lax.scan(body, None, xs)
+            # nested_scan: no FLAT scan reaches length >= 32 (the remote-
+            # compiler hang, CLAUDE.md) — the stream axis scales past 31
+            # streams the same way chunked dispatch does.
+            from chessboard_vision_tpu.models.pipeline import nested_scan
+
+            _, (pipe_s, noise_s, outs, nouts) = nested_scan(
+                body, None, xs, self.n_streams
+            )
             return MultiStreamState(pipe_s, noise_s), MultiStreamOutputs(outs, nouts)
 
         def core(state: MultiStreamState, gray, gray_cd, s2c_mask, s2c_given, refresh, fconsts):
@@ -291,7 +298,11 @@ class MultiStreamPipeline:
                         st, fr = xs
                         return None, self.pipe._capture_impl(st, fr, consts)
 
-                    _, new_state = jax.lax.scan(body, None, (state, frames))
+                    from chessboard_vision_tpu.models.pipeline import nested_scan
+
+                    _, new_state = nested_scan(
+                        body, None, (state, frames), self.n_streams
+                    )
                     return new_state
                 return jax.vmap(
                     lambda st, fr, c: self.pipe._capture_impl(st, fr, c),

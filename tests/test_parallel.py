@@ -140,6 +140,31 @@ class TestMultiStream:
             truth = {(f, r) for f in range(8) for r in range(8) if occ[f, r]}
             assert occupancy_to_set(np.asarray(out.step.occupancy[i])) == truth
 
+    def test_33_streams_cross_the_flat_scan_threshold(self, rng):
+        """The single-chip batched tick nests its stream scan (nested_scan)
+        so no FLAT lax.scan reaches length >= 32 — the remote-compiler hang
+        threshold that used to cap the scan path at 31 streams. 33 streams
+        (2 groups of 16 + remainder 1) must step and match ground truth."""
+        g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
+        n = 33
+        ms = MultiStreamPipeline(g, n_streams=n)
+        state = ms.init_state()
+        occs = []
+        frames0 = []
+        for i in range(n):
+            occ = initial_occupancy()
+            if i % 2:
+                occ[4, 1] = False
+                occ[4, 3] = True
+            occs.append(occ)
+            frames0.append(make_board_frame(occ, rng))
+        state = ms.capture_reference(state, np.stack(frames0))
+        frames1 = np.stack([make_board_frame(occ, rng) for occ in occs])
+        state, out = ms.step(state, frames1)
+        for i in range(n):
+            truth = {(f, r) for f in range(8) for r in range(8) if occs[i][f, r]}
+            assert occupancy_to_set(np.asarray(out.step.occupancy[i])) == truth, i
+
     def test_sharded_over_virtual_mesh(self, rng):
         """Same batched tick with the stream axis sharded over 8 CPU devices."""
         assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
