@@ -76,7 +76,10 @@ _STAGE_OF = {
     "ops/warp.py": "warp_extract",
     "ops/static_resample.py": "warp_extract",
     "ops/filters.py": "preprocess",
-    "ops/color.py": "preprocess",
+    # color conversions get their own bucket (they were inside
+    # "preprocess" through round 3): the LAB fast path (polynomial
+    # gamma + Newton cbrt, ops/color.py) needs its own trace line.
+    "ops/color.py": "color",
     "ops/canny.py": "hough",
     "ops/hough_conv.py": "hough",
     "ops/hough.py": "hough",

@@ -13,6 +13,7 @@ or (..., H, W) u8 for grayscale. Outputs keep u8 unless noted.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # ---------------------------------------------------------------------------
@@ -161,20 +162,64 @@ def _descale(x, n):
     return (x + (1 << (n - 1))) >> n
 
 
+# Degree-12 Chebyshev-fit of ((u+0.055)/1.055)^2.4 * 2040 on u in
+# [13/255, 1], power basis in s = (u - mid)/half (small, well-conditioned
+# coefficients). Fit max error 4.2e-5 table units vs the k>=13 margins'
+# floor of 1.6e-3 — round-to-int EXACTLY reproduces _GTAB on every input
+# (tests/test_ops_color_filters.py exhausts all 256). k=11,12 sit 7.5e-5
+# from a rounding boundary and are selected exactly instead.
+_GPOLY_MID = 0.5254902243614197
+_GPOLY_INV_HALF = 2.107438087463379
+_GPOLY = (
+    486.3310546875, 954.09912109375, 545.9364624023438, 59.50480270385742,
+    -7.3005690574646, 1.8855336904525757, -0.6479948163032532,
+    0.35910487174987793, -0.2089959681034088, -0.04430370032787323,
+    0.06115362048149109, 0.09049854427576065, -0.06590192019939423,
+)
+
+
 def _gamma_fixed(x_u8: jnp.ndarray) -> jnp.ndarray:
     """The sRGB inverse-gamma fixed-point table, computed directly.
 
     Equivalent to _GTAB[x] but gather-free: XLA TPU serializes gathers
     (~14 ns/elt — the 3 table lookups alone cost ~25 ms/frame at 720p).
-    f32 evaluation reproduces the table except on round-to-int ties.
+    A 12-FMA Horner polynomial instead of pow (= exp(2.4*log u) on TPU,
+    several times the VPU issue cost); reproduces _GTAB exactly on all
+    256 inputs (exhaustive test).
     """
-    u = x_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-    v = jnp.where(
-        u <= 0.04045,
-        u * jnp.float32(1.0 / 12.92),
-        ((u + 0.055) * jnp.float32(1.0 / 1.055)) ** jnp.float32(2.4),
+    x = x_u8.astype(jnp.float32)
+    u = x * jnp.float32(1.0 / 255.0)
+    s = (u - jnp.float32(_GPOLY_MID)) * jnp.float32(_GPOLY_INV_HALF)
+    acc = jnp.full_like(s, _GPOLY[-1])
+    for c in _GPOLY[-2::-1]:
+        acc = acc * s + jnp.float32(c)
+    out = jnp.where(x_u8 <= 10, u * jnp.float32(255 * (1 << _GAMMA_SHIFT) / 12.92), acc)
+    out = jnp.where(x_u8 == 11, jnp.float32(_GTAB[11]), out)
+    out = jnp.where(x_u8 == 12, jnp.float32(_GTAB[12]), out)
+    return jnp.round(out).astype(jnp.int32)
+
+
+def fast_cbrt(t: jnp.ndarray) -> jnp.ndarray:
+    """f32 cube root for non-negative inputs, division-free.
+
+    XLA lowers jnp.cbrt to a pow/exp/log chain on TPU; this is a
+    bit-trick seed + 4 Newton steps on the INVERSE cbrt (y -> y*(4/3 -
+    t/3*y^3), no divides), then t*y^2. Max relative error 3.7e-7 over
+    [0.0089, 3] (the Lab domain) — the same +-1 fixed-point envelope as
+    the pow form (exhaustive table test). Inputs are clamped to 1e-20 so
+    the unselected lanes of a surrounding jnp.where never overflow.
+    """
+    t = jnp.maximum(t.astype(jnp.float32), jnp.float32(1e-20))
+    bits = jax.lax.bitcast_convert_type(t, jnp.int32)
+    y = jax.lax.bitcast_convert_type(
+        jnp.int32(0x548C2B4B) - bits // 3, jnp.float32
     )
-    return jnp.round(v * (255 * (1 << _GAMMA_SHIFT))).astype(jnp.int32)
+    third = jnp.float32(1.0 / 3.0)
+    four_thirds = jnp.float32(4.0 / 3.0)
+    tt = third * t
+    for _ in range(4):
+        y = y * (four_thirds - tt * (y * y * y))
+    return t * (y * y)
 
 
 def _cbrt_fixed(idx: jnp.ndarray) -> jnp.ndarray:
@@ -183,7 +228,7 @@ def _cbrt_fixed(idx: jnp.ndarray) -> jnp.ndarray:
     f = jnp.where(
         t < 0.008856,
         t * jnp.float32(7.787) + jnp.float32(0.13793103448275862),
-        jnp.cbrt(t),
+        fast_cbrt(t),
     )
     return jnp.round(f * (1 << _LAB_SHIFT2)).astype(jnp.int32)
 
@@ -209,8 +254,14 @@ _XYZ_INV = np.linalg.inv(_XYZ_M)
 
 
 def _srgb_gamma(u):
+    # u^(1/2.4) = sqrt(sqrt(cbrt(u^5))): two hardware sqrts + the
+    # division-free fast_cbrt instead of pow's exp/log chain. Same
+    # u8-rounding accuracy class as the pow form (dense-grid test).
+    u5 = u * u
+    u5 = u5 * u5 * u
+    p = jnp.sqrt(jnp.sqrt(fast_cbrt(u5)))
     return jnp.where(
-        u <= 0.0031308, u * jnp.float32(12.92), 1.055 * u ** jnp.float32(1.0 / 2.4) - 0.055
+        u <= 0.0031308, u * jnp.float32(12.92), 1.055 * p - 0.055
     )
 
 

@@ -11,6 +11,8 @@ import numpy as np
 import pytest
 
 from chessboard_vision_tpu import ops
+from chessboard_vision_tpu.ops import color as color_mod
+import jax.numpy as jnp
 
 
 def _rand_img(rng, h=77, w=77, c=3):
@@ -56,6 +58,48 @@ class TestColor:
         ours = np.asarray(ops.lab2bgr(lab)).astype(int)
         ref = cv2.cvtColor(lab, cv2.COLOR_LAB2BGR).astype(int)
         assert np.abs(ours - ref).max() <= 2
+
+    def test_gamma_fixed_exhaustive(self):
+        """The polynomial _gamma_fixed reproduces cv2's inverse-gamma
+        fixed-point table EXACTLY on all 256 inputs (the pow form it
+        replaced only matched up to round-to-int ties)."""
+        got = np.asarray(color_mod._gamma_fixed(jnp.arange(256, dtype=jnp.uint8)))
+        assert np.array_equal(got, color_mod._GTAB)
+
+    def test_cbrt_fixed_exhaustive(self):
+        """fast_cbrt (division-free Newton on the inverse cbrt) stays in
+        the same +-1 fixed-point envelope as the pow-chain jnp.cbrt it
+        replaced, over the ENTIRE Lab cube-root table domain."""
+        idx = jnp.arange(color_mod._CBRT_N, dtype=jnp.int32)
+        got = np.asarray(color_mod._cbrt_fixed(idx))
+        d = np.abs(got - color_mod._CBRT_TAB)
+        assert d.max() <= 1
+        assert (d > 0).mean() < 0.005  # 23/6121 off-by-one measured
+
+    def test_fast_cbrt_accuracy_and_edge_lanes(self):
+        """Relative error <= 5e-7 over the Lab domain; zero / denormal
+        inputs (the unselected lanes of a surrounding where) stay finite."""
+        t = np.linspace(0.0088, 3.0, 200_001).astype(np.float32)
+        got = np.asarray(color_mod.fast_cbrt(jnp.asarray(t))).astype(np.float64)
+        rel = np.abs(got - np.cbrt(t.astype(np.float64))) / np.cbrt(t.astype(np.float64))
+        assert rel.max() < 5e-7
+        edge = np.asarray(color_mod.fast_cbrt(jnp.asarray([0.0, 1e-38, 1e-20], np.float32)))
+        assert np.isfinite(edge).all()
+
+    def test_srgb_gamma_dense_grid(self):
+        """The sqrt(sqrt(cbrt(u^5))) encode-gamma matches the f64 pow
+        ground truth at u8 rounding on a dense grid (rare +-1 flips only,
+        same class as the pow form it replaced)."""
+        u = np.linspace(0.0, 1.0, 1_000_001).astype(np.float32)
+        got = np.round(np.asarray(color_mod._srgb_gamma(jnp.asarray(u))) * 255)
+        ref64 = np.where(
+            u.astype(np.float64) <= 0.0031308,
+            u.astype(np.float64) * 12.92,
+            1.055 * u.astype(np.float64) ** (1 / 2.4) - 0.055,
+        )
+        d = np.abs(got - np.round(ref64 * 255))
+        assert d.max() <= 1
+        assert (d > 0).mean() < 1e-4
 
     def test_convert_scale_abs_exact(self, rng):
         img = _rand_img(rng)
