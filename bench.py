@@ -95,49 +95,16 @@ _STAGE_OF = {
 
 
 def _per_stage_ms(trace_dir: str, iters: int) -> dict:
-    """Aggregate device-lane op durations from a jax.profiler trace by
-    pipeline stage (source-module attribution), ms per step."""
-    import glob as _glob
-    import gzip
-    from collections import defaultdict
+    """Per-pipeline-stage device ms from a jax.profiler trace (the
+    generic aggregation lives in utils/profiling.aggregate_device_op_ms;
+    whole-module spans attributed to the jit callsite are excluded —
+    they would double-count op time)."""
+    from chessboard_vision_tpu.utils.profiling import aggregate_device_op_ms
 
-    paths = sorted(
-        _glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    return aggregate_device_op_ms(
+        trace_dir, stage_of=_STAGE_OF, per=iters,
+        exclude_sources=("models/pipeline.py",),
     )
-    if not paths:
-        return {}
-    with gzip.open(paths[-1], "rt") as f:
-        data = json.load(f)
-    pid_names = {}
-    for e in data["traceEvents"]:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-    dev_pids = {
-        p for p, nm in pid_names.items()
-        if "TPU" in nm or "/device" in nm.lower()
-    }
-    tot = defaultdict(float)
-    for e in data["traceEvents"]:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
-            continue
-        a = e.get("args", {})
-        if not a.get("long_name"):
-            continue  # lane/module wrappers would double-count op time
-        src = a.get("source", "").rsplit(":", 1)[0]  # strip the :line
-        stage = "other"
-        for suffix, name in _STAGE_OF.items():
-            if src.endswith(suffix):
-                stage = name
-                break
-        # whole-module spans are attributed to the jit callsite
-        # (models/pipeline.py) — exclude them from the op sum
-        if src.endswith("models/pipeline.py"):
-            continue
-        tot[stage] += e.get("dur", 0) / 1e3
-    return {
-        k: round(v / iters, 4)
-        for k, v in sorted(tot.items(), key=lambda kv: -kv[1])
-    }
 
 
 def _device_probe(q):

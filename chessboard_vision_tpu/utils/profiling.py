@@ -21,7 +21,8 @@ import numpy as np
 def device_trace(log_dir: str):
     """jax.profiler trace scope — the framework's tracing hook (write the
     result dir into TensorBoard's profile plugin, or parse the
-    .trace.json.gz directly; see PERF.md for the op-level workflow)."""
+    .trace.json.gz directly with aggregate_device_op_ms; see PERF.md for
+    the op-level workflow)."""
     import jax
 
     jax.profiler.start_trace(log_dir)
@@ -29,6 +30,65 @@ def device_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def aggregate_device_op_ms(
+    trace_dir: str,
+    stage_of: Dict[str, str] = None,
+    per: int = 1,
+    exclude_sources: tuple = (),
+) -> Dict[str, float]:
+    """Aggregate DEVICE-lane op durations from a jax.profiler trace dir,
+    grouped by the op's source module — the per-stage attribution used by
+    bench.py's ``per_stage_ms`` extras (PERF.md's op-level workflow).
+
+    ``stage_of`` maps source-path suffixes to stage names (unmatched ops
+    land in "other"); ``per`` divides the totals (e.g. the number of
+    chained steps in the traced call); ``exclude_sources`` drops
+    whole-module wrapper spans attributed to the jit callsite, which
+    would double-count op time. Only the TPU backend emits per-op
+    ``long_name``/``source`` metadata — on CPU traces this returns {}.
+    """
+    import glob as _glob
+    import gzip
+    import json
+
+    stage_of = stage_of or {}
+    paths = sorted(
+        _glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    )
+    if not paths:
+        return {}
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    pid_names = {}
+    for e in data["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {
+        p for p, nm in pid_names.items()
+        if "TPU" in nm or "/device" in nm.lower()
+    }
+    tot: Dict[str, float] = defaultdict(float)
+    for e in data["traceEvents"]:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        a = e.get("args", {})
+        if not a.get("long_name"):
+            continue  # lane/module wrappers would double-count op time
+        src = a.get("source", "").rsplit(":", 1)[0]  # strip the :line
+        if any(src.endswith(x) for x in exclude_sources):
+            continue
+        stage = "other"
+        for suffix, name in stage_of.items():
+            if src.endswith(suffix):
+                stage = name
+                break
+        tot[stage] += e.get("dur", 0) / 1e3
+    return {
+        k: round(v / per, 4)
+        for k, v in sorted(tot.items(), key=lambda kv: -kv[1])
+    }
 
 
 class FpsCounter:
