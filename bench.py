@@ -465,7 +465,10 @@ def main():
             epipe = build((w, h), corners, with_enhancer=True)
             estate = epipe.init_state()
             estate = epipe.capture_reference(estate, frame_dev)
-            en_chunks = max(1, min(n_chunks, 128 // K))
+            # Enough chunks that the end-of-pass drain sync (~28 ms tunnel
+            # RTT) amortizes: 2 chunks of 64 carried ~0.22 ms/frame of
+            # drain overhead — a third of the enhanced device step.
+            en_chunks = max(1, min(n_chunks, 512 // K))
             estate, ems, efen = measure_chunked(
                 epipe, estate, [same_chunk], en_chunks, args.passes, "enhanced"
             )
