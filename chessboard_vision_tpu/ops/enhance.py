@@ -100,8 +100,17 @@ def clahe(
     luts = jnp.clip(jnp.round(cdf.astype(jnp.float32) * scale), 0, 255)  # (n_tiles, 256) f32
 
     if backend == "pallas":
-        from chessboard_vision_tpu.ops.pallas.clahe_apply import clahe_apply_pallas
+        from chessboard_vision_tpu.ops.pallas.clahe_apply import (
+            clahe_apply_pallas,
+            clahe_apply_pallas_v2,
+        )
 
+        # v2 = parity-split + tile-row-sliced matmul (bit-identical to
+        # v1, 0.298 -> 0.159 ms at 984^2); requires 8x8 tiles and
+        # band <= th like the hist v3. Fall back to the generic v1
+        # otherwise.
+        if th >= 8 and tiles == 8:
+            return clahe_apply_pallas_v2(pad, luts, th, tw, tiles)[:H, :W]
         return clahe_apply_pallas(pad, luts, th, tw, tiles)[:H, :W]
 
     # Per-pixel bilinear mix of 4 neighbor-tile LUTs, gather-free:

@@ -249,6 +249,146 @@ def clahe_hist_pallas_v3(
     return out.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("th", "tw", "tiles", "band"))
+def clahe_apply_pallas_v2(
+    pad_img: jnp.ndarray,
+    luts: jnp.ndarray,
+    th: int,
+    tw: int,
+    tiles: int,
+    band: int = 8,
+) -> jnp.ndarray:
+    """Parity-split, tile-row-sliced LUT mix: bit-identical to
+    clahe_apply_pallas with ~5x less MXU work and half the one-hot build.
+
+    Two independent factorizations compose:
+
+    1. **Value parity split.** v1's matmul is (64, 256) @ (256, P): two
+       K-passes at M = 64, behind a 256-row one-hot build. Splitting the
+       pixel value as v = 2j + s (j = v >> 1, s = v & 1) halves both: the
+       one-hot becomes OH[j, p] = [v(p) >> 1 == j] (128 rows), and each
+       LUT contributes two packed rows (its even and its odd columns).
+       The row loop picks the right half per pixel with the parity bit (a
+       (1, Wq) select over two 8-row slices).
+    2. **Tile-row slicing.** A row band of 8 spans at most two LUT tile
+       rows (ty0, ty0+1 with band <= th), so with the y-blend neighbor at
+       most THREE of the 8 tile rows are ever read. A is laid out with
+       each tile row's 16 packed rows contiguous ([even tiles ty*8..+8;
+       odd same]), and the kernel matmuls only the 48-row window starting
+       at t_lo = clip(floor(first_row/th - .5), 0, tiles-3) * 16 — a
+       16-aligned dynamic sublane slice. M drops 128 -> 48 and the E slab
+       shrinks 2.7x (measured: Mosaic matmul time at K=128 scales ~linearly
+       in M down to M~48, floor below that).
+
+    Every product is still a single nonzero times an integer-valued bf16
+    LUT entry accumulated in f32, so the selected value equals v1's
+    exactly; the blend math is untouched — output is bit-identical
+    (tests/test_pallas_clahe.py, TPU-only).
+    """
+    Hp, Wp = pad_img.shape
+    n_tiles = tiles * tiles
+    assert luts.shape == (n_tiles, 256)
+    assert tiles == 8, "pallas clahe apply requires 8x8 tiles"
+    assert band % 8 == 0 and band <= th, "band must be 8-aligned and <= th"
+
+    Wq = ((Wp + 127) // 128) * 128
+    Hq = ((Hp + band - 1) // band) * band
+    x_pad = jnp.pad(pad_img, ((0, Hq - Hp), (0, Wq - Wp)))
+    # (128, 128) interleaved per tile row: rows t*16..+8 = even LUT
+    # columns of tiles (t*8..t*8+8), rows t*16+8..+16 = odd.
+    even = luts[:, 0::2].reshape(tiles, tiles, 128)
+    odd = luts[:, 1::2].reshape(tiles, tiles, 128)
+    a_mat = (
+        jnp.concatenate([even, odd], axis=1)
+        .reshape(2 * n_tiles, 128)
+        .astype(jnp.bfloat16)
+    )
+    grid = Hq // band
+    P = band * Wq
+
+    def kernel(x_ref, a_ref, out_ref):
+        i = pl.program_id(0)
+        th_f = jnp.float32(th)
+        tw_f = jnp.float32(tw)
+        # Lowest tile row the band (plus its y-blend neighbor) can touch.
+        t_lo = jnp.clip(
+            jnp.floor((i * band).astype(jnp.float32) / th_f - 0.5), 0, tiles - 3
+        ).astype(jnp.int32)
+
+        def body(oh_ref, e_ref):
+            vals = x_ref[:].astype(jnp.int32)  # (band, Wq)
+
+            # Half-value one-hot (128 rows): static lane offsets per row.
+            jbin = jax.lax.broadcasted_iota(jnp.int32, (128, Wq), 0)
+            for r in range(band):
+                oh_ref[:, r * Wq : (r + 1) * Wq] = (
+                    jbin == (vals[r : r + 1, :] >> 1)
+                ).astype(jnp.bfloat16)
+
+            # E[(t-t_lo, s), p] = luts[t][2*(v>>1) + s] for the 3 live
+            # tile rows: one (48, 128) @ (128, P) MXU pass.
+            a_sl = a_ref[pl.ds(pl.multiple_of(t_lo * 16, 8), 48), :]
+            e_ref[:] = jnp.dot(
+                a_sl, oh_ref[:], preferred_element_type=jnp.float32
+            )
+
+            # Per-column x-weights (identical to v1).
+            xs = jax.lax.broadcasted_iota(jnp.int32, (1, Wq), 1).astype(
+                jnp.float32
+            )
+            txf = xs / tw_f - 0.5
+            tx0 = jnp.floor(txf)
+            fx = txf - tx0
+            tx0c = jnp.clip(tx0, 0, tiles - 1).astype(jnp.int32)
+            tx1c = jnp.clip(tx0 + 1, 0, tiles - 1).astype(jnp.int32)
+            cbin = jax.lax.broadcasted_iota(jnp.int32, (tiles, Wq), 0)
+            wx = jnp.where(cbin == tx0c, 1.0 - fx, 0.0) + jnp.where(
+                cbin == tx1c, fx, 0.0
+            )  # (tiles, Wq) f32
+
+            for r in range(band):
+                y = (i * band + r).astype(jnp.float32)
+                tyf = y / th_f - 0.5
+                ty0 = jnp.floor(tyf)
+                fy = tyf - ty0
+                ty0c = jnp.clip(ty0, 0, tiles - 1).astype(jnp.int32)
+                ty1c = jnp.clip(ty0 + 1, 0, tiles - 1).astype(jnp.int32)
+                d0 = ty0c - t_lo  # in {0, 1, 2} by construction
+                d1 = ty1c - t_lo
+                row = pl.ds(r * Wq, Wq)
+                par = (vals[r : r + 1, :] & 1) == 1  # (1, Wq)
+                # Even/odd halves at 16-aligned local tile-row offsets.
+                e0a = e_ref[pl.ds(pl.multiple_of(d0 * 16, 8), tiles), row]
+                e0b = e_ref[pl.ds(pl.multiple_of(d0 * 16 + 8, 8), tiles), row]
+                e1a = e_ref[pl.ds(pl.multiple_of(d1 * 16, 8), tiles), row]
+                e1b = e_ref[pl.ds(pl.multiple_of(d1 * 16 + 8, 8), tiles), row]
+                e0 = jnp.where(par, e0b, e0a)
+                e1 = jnp.where(par, e1b, e1a)
+                ey = (1.0 - fy) * e0 + fy * e1  # (tiles, Wq)
+                res = jnp.sum(wx * ey, axis=0, keepdims=True)  # (1, Wq)
+                res = jnp.clip(jnp.round(res), 0, 255)
+                out_ref[r : r + 1, :] = res.astype(jnp.int32).astype(jnp.uint8)
+
+        pl.run_scoped(
+            body,
+            oh_ref=pltpu.VMEM((128, P), jnp.bfloat16),
+            e_ref=pltpu.VMEM((48, P), jnp.float32),
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((band, Wq), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((band, Wq), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hq, Wq), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+    )(x_pad, a_mat)
+    return out[:Hp, :Wp]
+
+
 @partial(jax.jit, static_argnames=("th", "tw", "tiles"))
 def clahe_apply_pallas(
     pad_img: jnp.ndarray, luts: jnp.ndarray, th: int, tw: int, tiles: int

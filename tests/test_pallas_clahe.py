@@ -50,6 +50,29 @@ def test_hist_matches_numpy_on_tpu(rng, shape):
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="Mosaic kernel needs TPU")
+@pytest.mark.parametrize("shape", [(620, 620), (984, 984), (80, 128)])
+def test_apply_v2_bit_identical_on_tpu(rng, shape):
+    """The parity-split + tile-row-sliced apply (v2) must equal v1 bit for
+    bit: same one-hot products, same blend arithmetic, only the matmul
+    factorization differs."""
+    from chessboard_vision_tpu.ops.pallas.clahe_apply import (
+        clahe_apply_pallas,
+        clahe_apply_pallas_v2,
+    )
+
+    H, W = shape
+    tiles = 8
+    th, tw = H // tiles, W // tiles
+    img = jnp.asarray(rng.integers(0, 256, (H, W), np.uint8))
+    luts = jnp.asarray(
+        np.sort(rng.integers(0, 256, (64, 256)), axis=1).astype(np.float32)
+    )
+    v1 = np.asarray(clahe_apply_pallas(img, luts, th, tw, tiles))
+    v2 = np.asarray(clahe_apply_pallas_v2(img, luts, th, tw, tiles))
+    assert np.array_equal(v1, v2)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="Mosaic kernel needs TPU")
 @pytest.mark.parametrize("shape", [(620, 620), (720, 1280), (77, 77)])
 def test_pallas_clahe_matches_cv2_on_tpu(rng, shape):
     """Full pallas path (hist + apply) vs the cv2 oracle: <=1 level, and
