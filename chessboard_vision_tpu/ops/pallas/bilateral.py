@@ -12,16 +12,19 @@ Kernel structure (what measured fastest on v5e):
   relayouts on TPU, so they must be hoisted out of the tap loop (a
   previous version sliced per tap: 69 relayouts/band, slower than XLA;
   another used pltpu.roll with loop-carried shifts: ~10x slower);
-- the dy axis runs as a fori_loop whose body reads the neighborhood by
-  sublane offset (plain addressing, free) and accumulates into scratch
-  num/den refs, so VMEM stays bounded regardless of W (a fully unrolled
-  tap loop stack-allocates every tap's temporaries: 109 MB at 720p);
+- the unrolled tap loop reads each neighborhood by static sublane offset
+  (plain addressing, free) and accumulates num/den in LOCALS — per-dy
+  partial sums folded into one running sum — which keeps the Mosaic
+  stack bounded (only the running sums stay live) while avoiding the
+  per-tap VMEM ref RMW that cost ~30% of the kernel;
 - space weights (incl. the circle mask as exact zeros) come from a
   precomputed (9, 9) SMEM table.
 
 Arithmetic matches ops/enhance.bilateral_planar (same f32 exp weights,
-same round) up to exp-evaluation ulps: measured max diff 0 at 620^2 on
-TPU v5e (tests/test_pallas_bilateral.py), and cv2 within 1 level.
+same round) up to exp-evaluation ulps and f32 sum reassociation (the
+local tree vs the XLA form's linear order): measured max diff <= 1 level
+at frac ~1e-5 on TPU v5e (tests/test_pallas_bilateral.py), and cv2
+within 1 level.
 
 Shapes: planar (3, H, W) u8, any H/W: the band height adapts to W so the
 shifted-copy scratch fits VMEM, padding H with the reflect-101
@@ -121,7 +124,7 @@ def bilateral_planar_pallas(
     def kernel(in_hbm, out_ref):
         i = pl.program_id(0)
 
-        def body(band_ref, shifted_ref, num_ref, den_ref, sem):
+        def body(band_ref, shifted_ref, sem):
             cp = pltpu.make_async_copy(
                 in_hbm.at[:, pl.ds(i * band, Bp), :], band_ref, sem
             )
@@ -135,15 +138,20 @@ def bilateral_planar_pallas(
                 )
             center = shifted_ref[radius, :, radius : radius + band, :]
 
-            num_ref[:] = jnp.zeros((C, band, W), jnp.float32)
-            den_ref[:] = jnp.zeros((1, band, W), jnp.float32)
-
             # Static unrolled taps over the prebuilt shifted copies: the dy
             # row offset is a static (unaligned) sublane slice — a cheap
             # masked read, unlike the lane relayouts hoisted above (Mosaic
             # also rejects *dynamic* sublane offsets it cannot prove
             # 8-aligned, so a dy fori_loop is not lowerable here).
+            # num/den accumulate in LOCALS (per-dy partials folded into a
+            # running sum), not VMEM refs: the ref RMW per tap was ~30% of
+            # the kernel (0.464 -> 0.334 ms at 984^2 measured). Only the
+            # running sums stay live, so the Mosaic stack stays bounded.
+            num = None
+            den = None
             for dy in range(span):
+                rn = None
+                rd = None
                 for dx in range(span):
                     sw = float(sw_tab[dy, dx])
                     if sw == 0.0:
@@ -151,17 +159,18 @@ def bilateral_planar_pallas(
                     nb = shifted_ref[dx, :, dy : dy + band, :]
                     cd = jnp.sum(jnp.abs(nb - center), axis=0)
                     w = jnp.float32(sw) * jnp.exp(cd * cd * jnp.float32(gc))
-                    num_ref[:] = num_ref[:] + w[None] * nb
-                    den_ref[:] = den_ref[:] + w[None]
-            res = jnp.clip(jnp.round(num_ref[:] / den_ref[:]), 0, 255)
+                    t = w[None] * nb
+                    rn = t if rn is None else rn + t
+                    rd = w if rd is None else rd + w
+                num = rn if num is None else num + rn
+                den = rd if den is None else den + rd
+            res = jnp.clip(jnp.round(num / den[None]), 0, 255)
             out_ref[:] = res.astype(jnp.int32).astype(jnp.uint8)
 
         pl.run_scoped(
             body,
             band_ref=pltpu.VMEM((C, Bp, Wp), jnp.uint8),
             shifted_ref=pltpu.VMEM((span, C, Bp, W), jnp.float32),
-            num_ref=pltpu.VMEM((C, band, W), jnp.float32),
-            den_ref=pltpu.VMEM((1, band, W), jnp.float32),
             sem=pltpu.SemaphoreType.DMA,
         )
 
