@@ -148,12 +148,22 @@ class ConvHoughPlan(NamedTuple):
     win_offset_x: jnp.ndarray  # (64,) i32
     win_mask: jnp.ndarray  # (Wy, Wx, 64) bool — centers within 30% of center
     #   (square axis LAST to match the transposed score matmul)
-    basis: jnp.ndarray  # (R*Yu*Xu, 3*Hq*Wq) bf16 — ring kernels unrolled so
+    basis: jnp.ndarray  # (Mq, 3*Hq*Wq) bf16 — ring kernels unrolled so
     #   the whole accumulator is ONE MXU matmul (see find_circle). Stored
-    #   output-major: scores come out (R*Yu*Xu, 64). With the square axis
+    #   output-major: scores come out (Mq, 64). With the square axis
     #   as M=64 the TPU backend rewrote the dot as a batch-in-lanes
     #   convolution and re-laid-out this 60 MB constant EVERY step
     #   (~92 us); output-major keeps it a plain MXU matmul.
+    #   ROW-PRUNED: rows exist only for (r, y, x) cells that at least one
+    #   square's circular center window + radius range accepts (~78% of
+    #   the rectangular unroll — the matmul is HBM-bound on this
+    #   constant, so dead rows were pure streamed waste), padded to a
+    #   _SCORE_MBLOCK multiple.
+    kvalid: jnp.ndarray  # (Mq, 64) bool — kept row valid for square s
+    #   (folds r_valid + window membership + circular mask; pad rows all
+    #   False). Square axis LAST like win_mask.
+    kept_code: jnp.ndarray  # (Mq,) i32 — kept row's original flat
+    #   (r * Yu + y) * Xu + x code for center/radius decode.
 
     @classmethod
     def build(
@@ -259,12 +269,44 @@ class ConvHoughPlan(NamedTuple):
         basis = np.ascontiguousarray(t.transpose(1, 3, 5, 0, 2, 4)).reshape(
             R * Yu * Xu, 2 * Hq * Wq
         )
+        # Row pruning: a union cell (r, yu, xu) is worth scoring only if
+        # SOME square accepts it — radius in that square's [minR, maxR]
+        # band AND the cell inside its circular 30% center window. The
+        # rectangular (R, Yu, Xu) unroll carries ~22% dead rows (circle
+        # vs bounding square, plus per-square radius bands), and the
+        # score matmul is HBM-bound on this constant. The argmax runs
+        # over the compressed rows directly (order preserved: kept rows
+        # stay (r, y, x)-lexicographic, so first-max tie-breaking matches
+        # the dense form per square).
+        yy_u = y0 + np.arange(Yu)
+        xx_u = x0 + np.arange(Xu)
+        by = yy_u[None, :] - woy[:, None]  # (64, Yu) window-relative row
+        bx = xx_u[None, :] - wox[:, None]  # (64, Xu)
+        in_win = (
+            ((by >= 0) & (by < Wy))[:, :, None]
+            & ((bx >= 0) & (bx < Wx))[:, None, :]
+        )  # (64, Yu, Xu)
+        cell_ok = np.zeros((64, Yu, Xu), bool)
+        for s in range(64):
+            byc = np.clip(by[s], 0, Wy - 1)
+            bxc = np.clip(bx[s], 0, Wx - 1)
+            cell_ok[s] = in_win[s] & mask[s][byc[:, None], bxc[None, :]]
+        valid_full = (
+            r_valid[:, :, None, None] & cell_ok[:, None, :, :]
+        )  # (64, R, Yu, Xu)
+        valid_full = valid_full.reshape(64, R * Yu * Xu).T  # (M, 64)
+        kept = np.flatnonzero(valid_full.any(axis=1))
+        basis = basis[kept]
+        kvalid = valid_full[kept]
         # Pad the output rows to the Pallas score-matmul M-block so the
-        # kernel grid divides exactly (pad rows are all-zero -> score 0,
-        # sliced off before the argmax).
+        # kernel grid divides exactly (pad rows are all-zero and
+        # all-invalid -> masked to -inf before the argmax).
         MB = _SCORE_MBLOCK
         Mq = -(-basis.shape[0] // MB) * MB
-        basis = np.pad(basis, ((0, Mq - basis.shape[0]), (0, 0)))
+        pad_rows = Mq - basis.shape[0]
+        basis = np.pad(basis, ((0, pad_rows), (0, 0)))
+        kvalid = np.pad(kvalid, ((0, pad_rows), (0, 0)))
+        kept_code = np.pad(kept.astype(np.int32), (0, pad_rows))
 
         plan = cls(
             kernels=jnp.asarray(kernels),
@@ -276,6 +318,8 @@ class ConvHoughPlan(NamedTuple):
             win_offset_x=jnp.asarray(wox.astype(np.int32)),
             win_mask=jnp.asarray(mask.transpose(1, 2, 0)),
             basis=jnp.asarray(basis, jnp.bfloat16),
+            kvalid=jnp.asarray(kvalid),
+            kept_code=jnp.asarray(kept_code),
         )
         dims = ConvHoughDims(
             ksize=K, win_h=Wy, win_w=Wx, pad=c, downsample=q,
@@ -374,37 +418,24 @@ def find_circle(
             plan.basis, pf, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    score_u = score_m[: R * Yu * Xu].reshape(R, Yu, Xu, n_sq)
-
-    if Yu == Wy and Xu == Wx:
-        win = score_u  # all squares share one window (regular grid)
-    else:
-
-        def take_window(sc, oy, ox):
-            return jax.lax.dynamic_slice(
-                sc,
-                (0, oy - dims.union_y0, ox - dims.union_x0),
-                (R, Wy, Wx),
-            )
-
-        win = jax.vmap(take_window, in_axes=(-1, 0, 0), out_axes=-1)(
-            score_u, plan.win_offset_y, plan.win_offset_x
-        )
-    valid = plan.r_valid.T[:, None, None, :] & plan.win_mask[None]
-    win = jnp.where(valid, win, -jnp.inf)
-
-    # Flat index order (r-major, y, x) matches the square-major layout, so
-    # argmax tie-breaking is unchanged.
-    flat = win.reshape(-1, n_sq)
+    # The basis rows are PRE-PRUNED to the union of the per-square
+    # windows' live (r, y, x) cells (ConvHoughPlan.build); kvalid folds
+    # r_valid + window membership + circular mask per square. Kept rows
+    # stay (r, y, x)-lexicographic, so jnp.argmax's first-max tie-break
+    # picks the same winner as the dense window form did.
+    flat = jnp.where(plan.kvalid, score_m, -jnp.inf)
     best = jnp.argmax(flat, axis=0)
     best_score = jnp.max(flat, axis=0)
-    ri = best // (Wy * Wx)
-    rest = best % (Wy * Wx)
-    by = rest // Wx
-    bx = rest % Wx
+    # Decode via the kept-row code table: a 64-element gather (far below
+    # the serialized-gather cliff; the per-pixel path stays gather-free).
+    code = plan.kept_code[best]
+    ri = code // (Yu * Xu)
+    rest = code % (Yu * Xu)
+    by = rest // Xu
+    bx = rest % Xu
     # Map accumulator cells back to full-resolution pixel coords (cell center).
-    cy = ((plan.win_offset_y + by).astype(jnp.float32) + 0.5) * q
-    cx = ((plan.win_offset_x + bx).astype(jnp.float32) + 0.5) * q
+    cy = ((dims.union_y0 + by).astype(jnp.float32) + 0.5) * q
+    cx = ((dims.union_x0 + bx).astype(jnp.float32) + 0.5) * q
     radius = jnp.round(plan.radii[ri]).astype(jnp.int32)
 
     # VERIFY: cv2 vote count at the proposed center (full resolution).

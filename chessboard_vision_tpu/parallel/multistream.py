@@ -185,6 +185,11 @@ class MultiStreamPipeline:
                 win_mask=jnp.tile(
                     self.pipe._consts.conv_plan.win_mask, (1, 1, n_streams)
                 ),
+                # find_circle's masking runs on the pruned-row validity
+                # table; its square axis is LAST (matmul-output order).
+                kvalid=jnp.tile(
+                    self.pipe._consts.conv_plan.kvalid, (1, n_streams)
+                ),
             ),
             mm_plan=self.pipe._consts.mm_plan,
         )
