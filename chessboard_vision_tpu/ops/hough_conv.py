@@ -379,17 +379,25 @@ def find_circle(
     e = edges.astype(jnp.float32)
     gxn = gx * inv
     gyn = gy * inv
-    planes = jnp.stack(
-        [e * (gxn * gxn - gyn * gyn), e * 2.0 * gxn * gyn], axis=1
-    )
 
-    # Sum-pool to accumulator resolution (vote mass preserved).
+    # Sum-pool to accumulator resolution (vote mass preserved). The two
+    # cos-2theta planes are pooled SEPARATELY and concatenated only at
+    # the small pooled size: stacking them full-res first made XLA
+    # materialize + relayout a 16 MB (2, 64, H, W) intermediate (~43 us
+    # of pure copy at 1080p). Column order (c-major, then py, px) is
+    # unchanged, matching the basis unroll.
     q = dims.downsample
-    if q > 1:
-        Hq, Wq = (H // q) * q, (W // q) * q
-        planes = planes[:, :, :Hq, :Wq].reshape(
-            n_sq, planes.shape[1], Hq // q, q, Wq // q, q
-        ).sum((3, 5))
+
+    def pool_flat(p):
+        if q > 1:
+            Hc, Wc = (H // q) * q, (W // q) * q
+            p = p[:, :Hc, :Wc].reshape(n_sq, Hc // q, q, Wc // q, q).sum((2, 4))
+        return p.reshape(n_sq, -1)
+
+    planes_flat = jnp.concatenate(
+        [pool_flat(e * (gxn * gxn - gyn * gyn)), pool_flat(e * 2.0 * gxn * gyn)],
+        axis=1,
+    )
 
     R = plan.kernels.shape[1]
     Wy, Wx = dims.win_h, dims.win_w
@@ -410,7 +418,7 @@ def find_circle(
     # square-major (M=64) orientation was rewritten by the backend into a
     # batch-in-lanes convolution that re-laid-out the basis constant every
     # step (~92 us of pure layout work at 1080p).
-    pf = planes.reshape(n_sq, -1).astype(jnp.bfloat16)
+    pf = planes_flat.astype(jnp.bfloat16)
     if jax.default_backend() == "tpu":
         score_m = _score_matmul_tpu(plan.basis, pf.T)
     else:

@@ -52,8 +52,12 @@ class MatmulResamplePlan(NamedTuple):
     # that tiled at T(2,128) with relayout copies). hw is pre-tiled over
     # the band rows in B-MAJOR order (row index b*Qr + j), so every tap
     # of the unrolled lerp is a static contiguous slice.
-    hw: jnp.ndarray  # (BC, 64, B*Qr, Qc) f32 horizontal tap weights
-    vw: jnp.ndarray  # (B, 64, Qr, Qc) f32 vertical tap weights
+    # Stored as TUPLES of per-tap (64, ..., Qc) arrays, not stacked 4-D
+    # tensors: XLA assigned the stacked constants a layout with the
+    # square axis second-minor and re-laid them out EVERY step (~14 us
+    # for vw at 1080p); separate 3-D constants keep their natural layout.
+    hw: tuple  # BC x (64, B*Qr, Qc) f32 horizontal tap weights
+    vw: tuple  # B x (64, Qr, Qc) f32 vertical tap weights
 
 
 class MatmulResampleDims(NamedTuple):
@@ -145,8 +149,8 @@ def build_plan(qx: np.ndarray, qy: np.ndarray, src_h: int, src_w: int):
         zero_mask=jnp.asarray(bad),
         col_base=jnp.asarray(col_base.astype(np.int32)),
         ux_off=jnp.asarray(ux_off.astype(np.int32)),
-        hw=jnp.asarray(hw),
-        vw=jnp.asarray(vw),
+        hw=tuple(jnp.asarray(hw[c]) for c in range(BC)),
+        vw=tuple(jnp.asarray(vw[b]) for b in range(B)),
     )
     dims = MatmulResampleDims(
         q_rows=Qr,
