@@ -397,9 +397,13 @@ class VisionPipeline:
 
         gcd = gray if gray_change is None else gray_change
         if self.with_change:
+            # Flatten ONCE for both change ops (the ops flatten internally
+            # too, but XLA does not CSE the two reshapes across fusions —
+            # ~7 us/step of duplicate re-tiling at 1080p).
+            gcd = change_ops._flat(gcd)
             cdet = change_ops.detect(
                 state.change, gcd, self.z_threshold,
-                consts.dg.sq_mask, consts.dg.sq_counts,
+                consts.dg.sq_mask_flat, consts.dg.sq_counts,
             )
             change_state = change_ops.update_references(
                 state.change, gcd, self.alpha, jnp.ones((gcd.shape[0],), bool)
@@ -525,6 +529,13 @@ class VisionPipeline:
         else:
             s2c_mask = jnp.asarray(positions_to_mask(squares_to_check))
             s2c_given = self._true
+        # consts stay jit ARGUMENTS (StepConsts docstring): baking them as
+        # closure constants measured 0.429 -> 0.381 ms/step at 1080p, but
+        # embeds the ~44 MB Hough basis as an HLO literal AND lets XLA
+        # constant-fold/contract the f32 arithmetic differently between
+        # the flat and nested scan programs, breaking step_many's
+        # scan-exactness (test_step_many_nested_scan_matches_flat went
+        # red) — measured-rejected, PERF.md round-4 cont. 4.
         return self._step(
             state,
             jnp.asarray(frame),

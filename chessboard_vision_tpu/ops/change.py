@@ -21,34 +21,51 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INTENSITY_NONE, INTENSITY_LEVE, INTENSITY_PARCIAL, INTENSITY_TOTAL = 0, 1, 2, 3
 INTENSITY_NAMES = ["NONE", "LEVE", "PARCIAL", "TOTAL"]
 
 
 class ChangeModelState(NamedTuple):
-    """Background-model state carried through the pipeline pytree."""
+    """Background-model state carried through the pipeline pytree.
 
-    means: jnp.ndarray  # (64, H, W) f32
-    variances: jnp.ndarray  # (64, H, W) f32
+    means/variances are stored FLAT per square — (64, H*W), not
+    (64, H, W). On TPU a 2-D (squares, pixels) tensor has exactly one
+    sensible layout (row-major), while for the 3-D form XLA's default
+    parameter layout puts the square axis second-minor ({2,0,1}) and the
+    EMA-update fusion produces row-major — the donated step carry then
+    paid two (64,122,122) relayout copies EVERY step (~24 us at 1080p;
+    PERF.md round-4 cont. 4). Flat shapes make the layout unambiguous
+    with no jit-level Format pinning (which this backend's persistent
+    compilation cache cannot deserialize)."""
+
+    means: jnp.ndarray  # (64, P) f32, P = H*W
+    variances: jnp.ndarray  # (64, P) f32
     calibrated: jnp.ndarray  # (64,) bool (per-square, so the
     #   stream-folded batched pipeline can merge the leading axes)
 
 
+def _flat(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) -> (..., H*W); already-flat inputs pass through."""
+    return x.reshape(x.shape[:-2] + (-1,)) if x.ndim >= 3 else x
+
+
 def init_state(shape=(64, 77, 77)) -> ChangeModelState:
+    n, p = shape[0], int(np.prod(shape[1:]))
     return ChangeModelState(
-        means=jnp.zeros(shape, jnp.float32),
-        variances=jnp.zeros(shape, jnp.float32),
-        calibrated=jnp.zeros((shape[0],), bool),
+        means=jnp.zeros((n, p), jnp.float32),
+        variances=jnp.zeros((n, p), jnp.float32),
+        calibrated=jnp.zeros((n,), bool),
     )
 
 
 def calibrate(gray: jnp.ndarray, initial_variance: float) -> ChangeModelState:
     """Initialize the model from preprocessed (blurred gray) squares.
 
-    gray: (64, H, W) u8 or f32 — the _preprocess output per square.
+    gray: (64, H, W) or (64, P) u8/f32 — the _preprocess output per square.
     """
-    g = gray.astype(jnp.float32)
+    g = _flat(gray).astype(jnp.float32)
     return ChangeModelState(
         means=g,
         variances=jnp.full(g.shape, jnp.float32(initial_variance)),
@@ -69,11 +86,11 @@ def update_references(
     """
     a = jnp.float32(alpha)
     one_m_a = jnp.float32(1.0) - a
-    g = gray.astype(jnp.float32)
+    g = _flat(gray).astype(jnp.float32)
     new_mean = one_m_a * state.means + a * g
     diff = g - new_mean
     new_var = jnp.maximum(one_m_a * state.variances + a * (diff * diff), jnp.float32(10.0))
-    m = update_mask.reshape(-1, 1, 1)
+    m = update_mask.reshape(-1, 1)
     return ChangeModelState(
         means=jnp.where(m, new_mean, state.means),
         variances=jnp.where(m, new_var, state.variances),
@@ -102,23 +119,35 @@ def detect(
     z = |x - mean| / sqrt(var); changed where z > threshold; intensity from
     percent-changed with integer-exact threshold comparisons.
 
-    valid_mask: (64, H, W) bool interior mask (variable-size squares);
-    counts: (64,) i32 true pixel counts.
+    valid_mask: (64, H, W) or (64, P) bool interior mask (variable-size
+    squares); counts: (64,) i32 true pixel counts.
     """
-    g = gray.astype(jnp.float32)
+    g = _flat(gray).astype(jnp.float32)
+    valid_mask = _flat(valid_mask)
     # Uncalibrated model (init_state zeros) -> no detections, like the
     # reference's "if not self.reference_images: return {}" guard
     # (change_detector.py:105-110); without it z = |g|/0 is inf/NaN and
     # every square reports a phantom TOTAL change.
     std = jnp.sqrt(jnp.maximum(state.variances, jnp.float32(1e-12)))
     z = jnp.where(
-        state.calibrated[:, None, None], jnp.abs(g - state.means) / std, 0.0
+        state.calibrated[:, None], jnp.abs(g - state.means) / std, 0.0
     )
     changed = (z > jnp.float32(z_threshold)) & valid_mask
-    ccount = jnp.sum(changed, axis=(-2, -1)).astype(jnp.int32)
+    # One variadic reduce computes the changed-count sum AND the z-peak max
+    # in a single pass over z: as two separate jnp reductions, XLA emitted
+    # two reduce fusions that each recomputed z from (g, means, variances)
+    # — ~2x the HBM traffic (~30 us/step at (64,122,122)). Bit-equal by
+    # construction: integer sum and max are order-exact and see the same
+    # per-pixel z values either way.
+    zm = jnp.where(valid_mask, z, -jnp.inf)
+    ccount, z_peak = jax.lax.reduce(
+        (changed.astype(jnp.int32), zm),
+        (jnp.int32(0), jnp.float32(-jnp.inf)),
+        lambda acc, x: (acc[0] + x[0], jnp.maximum(acc[1], x[1])),
+        (z.ndim - 1,),
+    )
     total = counts.astype(jnp.int32)
     pct = ccount.astype(jnp.float32) * 100.0 / total.astype(jnp.float32)
-    z_peak = jnp.max(jnp.where(valid_mask, z, -jnp.inf), axis=(-2, -1))
 
     # int32-exact: ccount, total <= H*W (~6e3), so 100x products stay tiny.
     c100 = ccount * 100

@@ -392,7 +392,11 @@ def find_circle(
         if q > 1:
             Hc, Wc = (H // q) * q, (W // q) * q
             p = p[:, :Hc, :Wc].reshape(n_sq, Hc // q, q, Wc // q, q).sum((2, 4))
-        return p.reshape(n_sq, -1)
+        # Cast to bf16 BEFORE the flatten/transpose: the cast commutes with
+        # reshape (same values either side), the pool-sum above stays f32,
+        # and every downstream layout copy (flatten + the .T feed of the
+        # score matmul) moves half the bytes (~46 us of f32 layout work).
+        return p.astype(jnp.bfloat16).reshape(n_sq, -1)
 
     planes_flat = jnp.concatenate(
         [pool_flat(e * (gxn * gxn - gyn * gyn)), pool_flat(e * 2.0 * gxn * gyn)],
@@ -418,7 +422,7 @@ def find_circle(
     # square-major (M=64) orientation was rewritten by the backend into a
     # batch-in-lanes convolution that re-laid-out the basis constant every
     # step (~92 us of pure layout work at 1080p).
-    pf = planes_flat.astype(jnp.bfloat16)
+    pf = planes_flat  # already bf16 (cast inside pool_flat, pre-layout)
     if jax.default_backend() == "tpu":
         score_m = _score_matmul_tpu(plan.basis, pf.T)
     else:

@@ -30,6 +30,10 @@ class DeviceGeometry(NamedTuple):
     sq_iy: jnp.ndarray  # (64, Hp, Wp) i32
     sq_ix: jnp.ndarray  # (64, Hp, Wp) i32
     sq_mask: jnp.ndarray  # (64, H, W) bool
+    sq_mask_flat: jnp.ndarray  # (64, H*W) bool — pre-flattened for the
+    #   change detector (whose model is stored flat, ops/change.py);
+    #   consts are jit ARGUMENTS, so flattening sq_mask inside the step
+    #   would re-tile it every frame (~7 us at 1080p).
     sq_counts: jnp.ndarray  # (64,) i32  true pixel counts per square
     sq_heights: jnp.ndarray  # (64,) i32
     sq_widths: jnp.ndarray  # (64,) i32
@@ -43,6 +47,7 @@ class DeviceGeometry(NamedTuple):
             sq_iy=jnp.asarray(s.iy),
             sq_ix=jnp.asarray(s.ix),
             sq_mask=jnp.asarray(s.mask),
+            sq_mask_flat=jnp.asarray(s.mask.reshape(s.mask.shape[0], -1)),
             sq_counts=jnp.asarray(s.counts),
             sq_heights=jnp.asarray(s.heights),
             sq_widths=jnp.asarray(s.widths),

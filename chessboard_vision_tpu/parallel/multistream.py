@@ -165,6 +165,7 @@ class MultiStreamPipeline:
         self._folded_consts = None if mesh is None else StepConsts(
             dg=self.pipe._consts.dg._replace(
                 sq_mask=self._tile(self.pipe._consts.dg.sq_mask),
+                sq_mask_flat=self._tile(self.pipe._consts.dg.sq_mask_flat),
                 sq_counts=self._tile(self.pipe._consts.dg.sq_counts),
                 sq_heights=self._tile(self.pipe._consts.dg.sq_heights),
                 sq_widths=self._tile(self.pipe._consts.dg.sq_widths),

@@ -54,6 +54,17 @@ def load_tree(path: str, template: Any) -> Tuple[Any, dict]:
                     # scalar would mask genuinely incompatible checkpoints
                     # whose flattened leaf order shifted.
                     arr = np.broadcast_to(arr, want_shape).copy()
+                elif (
+                    arr.ndim == 3
+                    and len(want_shape) == 2
+                    and arr.shape[0] == want_shape[0]
+                    and arr.shape[1] * arr.shape[2] == want_shape[1]
+                ):
+                    # Legacy-format leaf: the change model's means/
+                    # variances moved from (64, H, W) to flat (64, H*W)
+                    # (TPU layout-unambiguity, PERF.md round-4 cont. 4).
+                    # Row-major flatten is value-identical.
+                    arr = arr.reshape(want_shape)
                 else:
                     raise ValueError(
                         f"checkpoint leaf {i} shape {arr.shape} != template "

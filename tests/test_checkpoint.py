@@ -55,6 +55,22 @@ def test_tree_legacy_scalar_leaf_broadcasts(tmp_path):
     assert np.asarray(out.b).all()
 
 
+def test_tree_legacy_3d_change_leaf_flattens(tmp_path):
+    """A checkpoint saved when the change model stored (64, H, W) loads
+    into the flat (64, H*W) template (TPU layout-unambiguity redesign,
+    PERF.md round-4 cont. 4) with identical row-major values."""
+    rng = np.random.default_rng(0)
+    old_means = rng.uniform(0, 255, (64, 7, 5)).astype(np.float32)
+    old = Inner(jnp.asarray(old_means), jnp.ones((64,), bool))
+    p = str(tmp_path / "c.npz")
+    save_tree(p, old, {})
+    new_tmpl = Inner(jnp.zeros((64, 35), jnp.float32), jnp.zeros((64,), bool))
+    out, _ = load_tree(p, new_tmpl)
+    np.testing.assert_array_equal(
+        np.asarray(out.a), old_means.reshape(64, 35)
+    )
+
+
 def test_tree_shape_mismatch_raises(tmp_path):
     t = Inner(jnp.zeros((2, 3)), jnp.zeros((4,)))
     p = str(tmp_path / "c.npz")

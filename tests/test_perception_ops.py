@@ -201,8 +201,15 @@ class TestChangeDetector:
         for f in range(8):
             for r in range(8):
                 sq = r * 8 + f
-                assert np.array_equal(np.asarray(state.means[sq]), oracle.means[(f, r)]), (f, r)
-                assert np.array_equal(np.asarray(state.variances[sq]), oracle.variances[(f, r)])
+                # state stores the model FLAT per square (TPU layout
+                # unambiguity) — row-major flatten matches the oracle's 2-D.
+                assert np.array_equal(
+                    np.asarray(state.means[sq]), oracle.means[(f, r)].ravel()
+                ), (f, r)
+                assert np.array_equal(
+                    np.asarray(state.variances[sq]),
+                    oracle.variances[(f, r)].ravel(),
+                )
 
     def test_hand_pattern_device(self):
         intensity = jnp.zeros((64,), jnp.int32)
