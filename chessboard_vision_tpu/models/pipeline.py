@@ -400,7 +400,7 @@ class VisionPipeline:
             # Flatten ONCE for both change ops (the ops flatten internally
             # too, but XLA does not CSE the two reshapes across fusions —
             # ~7 us/step of duplicate re-tiling at 1080p).
-            gcd = change_ops._flat(gcd)
+            gcd = change_ops.flatten_pixels(gcd)
             cdet = change_ops.detect(
                 state.change, gcd, self.z_threshold,
                 consts.dg.sq_mask_flat, consts.dg.sq_counts,

@@ -46,7 +46,7 @@ class ChangeModelState(NamedTuple):
     #   stream-folded batched pipeline can merge the leading axes)
 
 
-def _flat(x: jnp.ndarray) -> jnp.ndarray:
+def flatten_pixels(x: jnp.ndarray) -> jnp.ndarray:
     """(..., H, W) -> (..., H*W); already-flat inputs pass through."""
     return x.reshape(x.shape[:-2] + (-1,)) if x.ndim >= 3 else x
 
@@ -65,7 +65,7 @@ def calibrate(gray: jnp.ndarray, initial_variance: float) -> ChangeModelState:
 
     gray: (64, H, W) or (64, P) u8/f32 — the _preprocess output per square.
     """
-    g = _flat(gray).astype(jnp.float32)
+    g = flatten_pixels(gray).astype(jnp.float32)
     return ChangeModelState(
         means=g,
         variances=jnp.full(g.shape, jnp.float32(initial_variance)),
@@ -86,7 +86,7 @@ def update_references(
     """
     a = jnp.float32(alpha)
     one_m_a = jnp.float32(1.0) - a
-    g = _flat(gray).astype(jnp.float32)
+    g = flatten_pixels(gray).astype(jnp.float32)
     new_mean = one_m_a * state.means + a * g
     diff = g - new_mean
     new_var = jnp.maximum(one_m_a * state.variances + a * (diff * diff), jnp.float32(10.0))
@@ -122,8 +122,8 @@ def detect(
     valid_mask: (64, H, W) or (64, P) bool interior mask (variable-size
     squares); counts: (64,) i32 true pixel counts.
     """
-    g = _flat(gray).astype(jnp.float32)
-    valid_mask = _flat(valid_mask)
+    g = flatten_pixels(gray).astype(jnp.float32)
+    valid_mask = flatten_pixels(valid_mask)
     # Uncalibrated model (init_state zeros) -> no detections, like the
     # reference's "if not self.reference_images: return {}" guard
     # (change_detector.py:105-110); without it z = |g|/0 is inf/NaN and
