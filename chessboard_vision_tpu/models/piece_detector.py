@@ -70,6 +70,10 @@ class DetectAllOutputs(NamedTuple):
     center_x: jnp.ndarray  # (64,) f32
     center_y: jnp.ndarray  # (64,) f32
     radius: jnp.ndarray  # (64,) i32
+    center_mean: jnp.ndarray  # (64,) f32 — THIS frame's center-disk mean
+    border_mean: jnp.ndarray  # (64,) f32 — THIS frame's corner-patch mean
+    #   (always fresh, never cached: they feed the piece-color classifier
+    #   which must see the current image)
 
 
 def _mean_diff_exceeds(gray, ref, counts, valid, threshold):
@@ -185,6 +189,8 @@ def detect_all(
         center_x=raw_cx,
         center_y=raw_cy,
         radius=raw_radius,
+        center_mean=fresh.center_mean,
+        border_mean=fresh.border_mean,
     )
     return new_state, outputs
 

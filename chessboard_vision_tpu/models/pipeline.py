@@ -426,12 +426,11 @@ class VisionPipeline:
             change_intensity=intensity,
             change_pct=pct,
             change_z_peak=zpeak,
-            center_mean=warp_ops.masked_mean(
-                gray, consts.masks.center_disk, consts.masks.center_counts
-            ),
-            corner_mean=warp_ops.masked_mean(
-                gray, consts.masks.corners, consts.masks.corner_counts
-            ),
+            # From the cascade's fused pass-1 reduce — bit-identical to
+            # masked_mean over the same masks (exact integer sums), with
+            # no extra pass over gray.
+            center_mean=det.center_mean,
+            corner_mean=det.border_mean,
         )
         return PipelineState(piece=piece_state, change=change_state), outputs
 

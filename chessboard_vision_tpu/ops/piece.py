@@ -92,11 +92,16 @@ class PieceDetections(NamedTuple):
     std: jnp.ndarray  # (64,) f32
     center_border_diff: jnp.ndarray  # (64,) f32
     symmetry: jnp.ndarray  # (64,) f32
+    center_mean: jnp.ndarray  # (64,) f32 — mean gray over the center disk
+    border_mean: jnp.ndarray  # (64,) f32 — mean gray over the corner
+    #   patches (warp_ops.masked_mean; the pipeline reuses them for
+    #   StepOutputs' piece-color features instead of re-stating the
+    #   reductions).
 
 
-# Shared with the pipeline's center/corner outputs: inside one jit XLA
-# CSEs the identical reductions, so the pipeline re-stating them for
-# StepOutputs costs nothing — but the helper lives in ONE place.
+# Shared with the pipeline's StepOutputs color features: detect_pieces
+# returns its center/border means and the pipeline reuses them — one
+# statement of each reduction, no duplicate pass over gray.
 from chessboard_vision_tpu.ops.warp import masked_mean as _masked_mean  # noqa: E402
 
 
@@ -124,6 +129,13 @@ def detect_pieces(
     gf = gray.astype(jnp.float32)
     v = masks.valid
     n = masks.counts.astype(jnp.float32)
+
+    # Separate reductions, deliberately: fusing all seven pass-1 masked
+    # sums (valid/center/corner/4 rings) into one variadic lax.reduce
+    # measured piece-stage 27 -> 19 us but perturbed the surrounding
+    # canny fusions +12 us — net REGRESSION (step 0.399 -> 0.403 ms,
+    # reproducible; PERF.md round-4 cont. 4). XLA's own fusion grouping
+    # of the separate forms wins.
 
     # Uniformity prefilter: population std over the valid crop.
     mu = jnp.sum(gf * v, axis=(-2, -1)) / n
@@ -209,4 +221,6 @@ def detect_pieces(
         std=std,
         center_border_diff=cb_diff,
         symmetry=symmetry,
+        center_mean=center_mean,
+        border_mean=border_mean,
     )
