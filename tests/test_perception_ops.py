@@ -211,6 +211,32 @@ class TestChangeDetector:
                     oracle.variances[(f, r)].ravel(),
                 )
 
+    def test_flat_and_3d_inputs_equivalent(self, rng):
+        """change ops accept (64, H, W) and pre-flattened (64, H*W)
+        inputs interchangeably (the pipeline flattens once and passes
+        flat; direct callers may pass 3-D) with identical results."""
+        import jax.numpy as jnp
+
+        g3 = jnp.asarray(rng.integers(0, 256, (64, 11, 13), np.uint8))
+        v3 = jnp.asarray(rng.random((64, 11, 13)) > 0.1)
+        counts = v3.sum((1, 2)).astype(jnp.int32)
+        gf = change_ops.flatten_pixels(g3)
+        vf = change_ops.flatten_pixels(v3)
+        s3 = change_ops.calibrate(g3, 50.0)
+        sf = change_ops.calibrate(gf, 50.0)
+        for a, b in zip(s3, sf):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        g2 = jnp.asarray(rng.integers(0, 256, (64, 11, 13), np.uint8))
+        mask = jnp.ones((64,), bool)
+        u3 = change_ops.update_references(s3, g2, 0.2, mask)
+        uf = change_ops.update_references(sf, change_ops.flatten_pixels(g2), 0.2, mask)
+        for a, b in zip(u3, uf):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        d3 = change_ops.detect(u3, g2, 2.0, v3, counts)
+        df = change_ops.detect(uf, change_ops.flatten_pixels(g2), 2.0, vf, counts)
+        for a, b in zip(d3, df):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
     def test_hand_pattern_device(self):
         intensity = jnp.zeros((64,), jnp.int32)
         intensity = intensity.at[3].set(3).at[10].set(3)  # two TOTAL
