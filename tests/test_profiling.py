@@ -101,3 +101,16 @@ class TestCounters:
         assert t.report()["timed"]["n"] == 1
         t.reset()
         assert t.report() == {}
+
+
+class TestProfileStepTool:
+    def test_cpu_backend_graceful(self):
+        """tools/profile_step on a CPU backend prints the no-metadata
+        message and exits 1 instead of an empty table (per-op source
+        attribution only exists in TPU traces)."""
+        from chessboard_vision_tpu.tools import profile_step
+
+        rc = profile_step.main(
+            ["--width", "320", "--height", "192", "--steps", "1"]
+        )
+        assert rc == 1
