@@ -69,6 +69,15 @@ class GameSession:
         self.stable_occupancy = None
         self.stable_count = 0
         self.last_move_time = 0.0
+        self.last_move_frame = -(10**9)
+        # Post-move cooldown basis. Live cameras use wall seconds
+        # (MOVE_COOLDOWN — frame time IS wall time there). For recorded
+        # sources processed faster than realtime, wall seconds are WRONG:
+        # two moves 3 video-seconds apart can be processed < 2 wall-
+        # seconds apart and the second would be silently dropped. Set
+        # cooldown_frames (e.g. int(2.0 * video_fps) — process_video does)
+        # to count source frames instead.
+        self.cooldown_frames: Optional[int] = None
 
         self.current_radar_destinations = []
         self.lifted_piece_square = None
@@ -255,7 +264,12 @@ class GameSession:
                 self.stable_count = 1
 
             now = time.time()
-            cooldown_ok = (now - self.last_move_time) > self.MOVE_COOLDOWN
+            if self.cooldown_frames is not None:
+                cooldown_ok = (
+                    self.frame_count - self.last_move_frame
+                ) > self.cooldown_frames
+            else:
+                cooldown_ok = (now - self.last_move_time) > self.MOVE_COOLDOWN
             if (
                 self.stable_count >= self.STABILITY_REQUIRED
                 and cooldown_ok
@@ -271,6 +285,7 @@ class GameSession:
                         if move in self.game.board.legal_moves:
                             self.game.board.push(move)
                             self.last_move_time = now
+                            self.last_move_frame = self.frame_count
                             self._refresh_references()
                             self.noise.reset()
                             self.stable_count = 0

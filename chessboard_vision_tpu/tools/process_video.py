@@ -49,8 +49,15 @@ def run(
     out_path: str | None = None,
     max_frames: int | None = None,
     session: GameSession | None = None,
+    cooldown_seconds: float = 0.0,
 ):
-    """Process the video; returns (moves, final_fen, frames_processed)."""
+    """Process the video; returns (moves, final_fen, frames_processed).
+
+    cooldown_seconds > 0 enables a post-move cooldown measured in VIDEO
+    time (converted to processed frames via the file's FPS and
+    skip_frames) — wall-clock cooldowns are meaningless offline, where
+    processing can run orders of magnitude faster than realtime.
+    """
     import cv2
 
     cap = cv2.VideoCapture(video_path)
@@ -59,7 +66,13 @@ def run(
 
     if session is None:
         session = GameSession(headless=True)
-        session.MOVE_COOLDOWN = 0.0  # wall-clock gating is meaningless offline
+        if cooldown_seconds > 0:
+            fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+            session.cooldown_frames = max(
+                1, int(cooldown_seconds * fps / max(skip_frames, 1))
+            )
+        else:
+            session.MOVE_COOLDOWN = 0.0  # no cooldown: the stability gate debounces
     if not session.on_calibration_requested(None, config=config):
         cap.release()
         raise ValueError("calibration config rejected (missing corners?)")
@@ -131,6 +144,12 @@ def main(argv=None):
     ap.add_argument("--auto-recalibrate", action="store_true",
                     help="detect mid-footage camera bumps and rebuild "
                     "geometry (session/drift.py)")
+    ap.add_argument("--cooldown-seconds", type=float, default=0.0,
+                    help="post-move cooldown in VIDEO seconds (converted "
+                    "to source frames via the file's FPS; wall-clock "
+                    "cooldowns are meaningless when processing runs "
+                    "faster than realtime). 0 = no cooldown (default, "
+                    "the 20-frame stability gate alone debounces)")
     args = ap.parse_args(argv)
 
     if args.corners:
@@ -152,6 +171,7 @@ def main(argv=None):
     moves, fen, n = run(
         args.video, config, skip_frames=args.skip_frames,
         out_path=args.out, max_frames=args.max_frames,
+        cooldown_seconds=args.cooldown_seconds,
     )
     print(f"\n{len(moves)} moves over {n} processed frames")
     print(f"final FEN: {fen}")

@@ -129,3 +129,68 @@ def test_session_with_enhancer_config_key():
             break
     assert committed is not None and committed.uci() == "e2e4"
     assert s.game.board.move_stack[-1].uci() == "e2e4"
+
+
+def test_frame_based_cooldown_replaces_wall_clock():
+    """With cooldown_frames set, the post-move cooldown counts SOURCE
+    frames instead of wall seconds — the recorded-footage semantic
+    (processing faster than realtime must not drop the next move, and a
+    huge wall cooldown must not gate at all)."""
+    rng = np.random.default_rng(79)
+    s = GameSession(headless=True)
+    s.MOVE_COOLDOWN = 1e9  # wall clock would block forever
+    s.cooldown_frames = 5  # ...but the frames basis rules
+    assert s.on_calibration_requested(None, config=make_config())
+    occ0 = initial_occupancy()
+    s.capture_reference_frame(make_board_frame(occ0, rng))
+    for _ in range(3):
+        assert s.on_frame(make_board_frame(occ0, rng)) is None
+
+    occ1 = occ0.copy()
+    occ1[4, 1] = False
+    occ1[4, 3] = True  # e2e4
+    committed = None
+    for _ in range(40):
+        committed = s.on_frame(make_board_frame(occ1, rng))
+        if committed:
+            break
+    assert committed is not None and committed.uci() == "e2e4"
+
+    occ2 = occ1.copy()
+    occ2[4, 6] = False
+    occ2[4, 4] = True  # e7e5
+    committed = None
+    for _ in range(45):
+        committed = s.on_frame(make_board_frame(occ2, rng))
+        if committed:
+            break
+    assert committed is not None and committed.uci() == "e7e5"
+
+
+def test_frame_based_cooldown_suppresses_within_window():
+    """A second stable position inside the cooldown window does not
+    commit until the window has passed."""
+    rng = np.random.default_rng(80)
+    s = GameSession(headless=True)
+    s.cooldown_frames = 10**6  # nothing after the first move may commit
+    assert s.on_calibration_requested(None, config=make_config())
+    occ0 = initial_occupancy()
+    s.capture_reference_frame(make_board_frame(occ0, rng))
+    for _ in range(3):
+        assert s.on_frame(make_board_frame(occ0, rng)) is None
+
+    occ1 = occ0.copy()
+    occ1[4, 1] = False
+    occ1[4, 3] = True  # e2e4
+    committed = None
+    for _ in range(40):
+        committed = s.on_frame(make_board_frame(occ1, rng))
+        if committed:
+            break
+    assert committed is not None and committed.uci() == "e2e4"
+
+    occ2 = occ1.copy()
+    occ2[4, 6] = False
+    occ2[4, 4] = True  # e7e5 — inside the window: must NOT commit
+    for _ in range(45):
+        assert s.on_frame(make_board_frame(occ2, rng)) is None
