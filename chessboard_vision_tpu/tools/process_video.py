@@ -50,13 +50,22 @@ def run(
     max_frames: int | None = None,
     session: GameSession | None = None,
     cooldown_seconds: float = 0.0,
+    compare_oracle: bool = False,
 ):
-    """Process the video; returns (moves, final_fen, frames_processed).
+    """Process the video; returns (moves, final_fen, frames_processed)
+    — or (moves, final_fen, frames_processed, report) with
+    compare_oracle=True.
 
     cooldown_seconds > 0 enables a post-move cooldown measured in VIDEO
     time (converted to processed frames via the file's FPS and
     skip_frames) — wall-clock cooldowns are meaningless offline, where
     processing can run orders of magnitude faster than realtime.
+
+    compare_oracle replays the SAME processed frames through the cv2
+    oracle decision loop (reference/replay_session.py) in parallel and
+    returns a decision-agreement report (per-frame occupancy agreement,
+    move-list diff, FEN match) — the one-command validation bridge for
+    user footage that the README's parity policy points to.
     """
     import cv2
 
@@ -64,18 +73,28 @@ def run(
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {video_path}")
 
+    cooldown_frames = None
+    if cooldown_seconds > 0:
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        cooldown_frames = max(1, int(cooldown_seconds * fps / max(skip_frames, 1)))
     if session is None:
         session = GameSession(headless=True)
-        if cooldown_seconds > 0:
-            fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-            session.cooldown_frames = max(
-                1, int(cooldown_seconds * fps / max(skip_frames, 1))
-            )
+        if cooldown_frames is not None:
+            session.cooldown_frames = cooldown_frames
         else:
             session.MOVE_COOLDOWN = 0.0  # no cooldown: the stability gate debounces
     if not session.on_calibration_requested(None, config=config):
         cap.release()
         raise ValueError("calibration config rejected (missing corners?)")
+
+    oracle = None
+    per_frame_matches = []
+    if compare_oracle:
+        from chessboard_vision_tpu.reference.replay_session import (
+            OracleReplaySession,
+        )
+
+        oracle = OracleReplaySession(config, cooldown_frames=cooldown_frames)
 
     # Reference capture from the first frames (reference
     # game_session.capture_reference does 10 warmup reads on live cameras;
@@ -87,6 +106,8 @@ def run(
             raise ValueError("video ended before a reference frame was read")
         ref = img
     session.capture_reference_frame(ref)
+    if oracle is not None:
+        oracle.capture_reference(ref)
 
     out_f = open(out_path, "w") if out_path else None
     moves = []
@@ -102,6 +123,16 @@ def run(
                 continue
             processed += 1
             move = session.on_frame(img)
+            if oracle is not None:
+                from chessboard_vision_tpu.models.pipeline import occupancy_to_set
+
+                omove = oracle.on_frame(img)
+                if omove is not None:
+                    log.info("frame %d: oracle committed %s", i, omove.uci())
+                tpu_occ = occupancy_to_set(session.last_outputs.occupancy)
+                per_frame_matches.append(
+                    64 - len(tpu_occ ^ oracle.last_occupancy)
+                )
             if move is not None:
                 moves.append(move.uci())
                 fen = session.game.get_fen()
@@ -121,6 +152,15 @@ def run(
                 )
                 + "\n"
             )
+        if oracle is not None:
+            from chessboard_vision_tpu.reference.replay_session import (
+                agreement_report,
+            )
+
+            report = agreement_report(moves, final_fen, oracle, per_frame_matches)
+            if out_f:
+                out_f.write(json.dumps({"oracle_comparison": report}) + "\n")
+            return moves, final_fen, processed, report
         return moves, final_fen, processed
     finally:
         if out_f:
@@ -150,6 +190,12 @@ def main(argv=None):
                     "cooldowns are meaningless when processing runs "
                     "faster than realtime). 0 = no cooldown (default, "
                     "the 20-frame stability gate alone debounces)")
+    ap.add_argument("--compare-oracle", action="store_true",
+                    help="also replay the video through the cv2 oracle "
+                    "decision loop and print a decision-agreement report "
+                    "(per-frame occupancy agreement, move-list diff, FEN "
+                    "match) — one-command validation of the TPU pipeline "
+                    "against the OpenCV reference on YOUR footage")
     args = ap.parse_args(argv)
 
     if args.corners:
@@ -168,13 +214,33 @@ def main(argv=None):
 
     if args.auto_recalibrate:
         config = {**config, "auto_recalibrate": True}
-    moves, fen, n = run(
+    result = run(
         args.video, config, skip_frames=args.skip_frames,
         out_path=args.out, max_frames=args.max_frames,
         cooldown_seconds=args.cooldown_seconds,
+        compare_oracle=args.compare_oracle,
     )
+    moves, fen, n = result[:3]
     print(f"\n{len(moves)} moves over {n} processed frames")
     print(f"final FEN: {fen}")
+    if args.compare_oracle:
+        report = result[3]
+        print("\noracle comparison (cv2 decision loop on the same frames):")
+        print(f"  per-square occupancy agreement: "
+              f"{report['square_agreement_pct']}%")
+        print(f"  frames fully agreeing:          "
+              f"{report['frame_full_agreement_pct']}%")
+        print(f"  move lists match: {report['move_lists_match']} "
+              f"(tpu {len(report['tpu_moves'])} vs oracle "
+              f"{len(report['oracle_moves'])} moves"
+              + (f"; first divergence at move index "
+                 f"{report['first_divergent_move']}"
+                 if report["first_divergent_move"] is not None else "")
+              + ")")
+        print(f"  final FEN match: {report['fen_match']}")
+        if not report["fen_match"]:
+            print(f"    tpu:    {report['tpu_final_fen']}")
+            print(f"    oracle: {report['oracle_final_fen']}")
     if args.pgn:
         from chessboard_vision_tpu.rules.pgn import game_to_pgn
 

@@ -98,6 +98,46 @@ def test_video_to_moves(tmp_path):
     assert lines[-1]["final_fen"] == fen
 
 
+@pytest.mark.slow
+def test_compare_oracle_report(tmp_path):
+    """--compare-oracle replays the same clip through the cv2 oracle
+    decision loop and reports full decision agreement on a clean scripted
+    game (VERDICT r4 item 1: the one-command validation bridge for user
+    footage; reference test_piece_detector.py:49-116 is the human-judged
+    path this operationalizes)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(13)
+
+    board = chess.Board()
+    frames = [make_board_frame(_occ(board), rng) for _ in range(4)]
+    board.push_uci("e2e4")
+    frames += [make_board_frame(_occ(board), rng) for _ in range(56)]
+
+    path = str(tmp_path / "clip.avi")
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (w, h))
+    assert vw.isOpened()
+    for f in frames:
+        vw.write(f)
+    vw.release()
+
+    out = str(tmp_path / "timeline.jsonl")
+    moves, fen, n, report = run(
+        path, _clip_config(), skip_frames=2, out_path=out, compare_oracle=True
+    )
+    assert moves == ["e2e4"]
+    assert report["move_lists_match"], report
+    assert report["fen_match"], report
+    assert report["oracle_moves"] == ["e2e4"]
+    assert report["frames_compared"] == n
+    assert report["square_agreement_pct"] >= 99.0, report
+    assert report["first_divergent_move"] is None
+    # the report also lands in the JSONL timeline
+    lines = [json.loads(l) for l in open(out)]
+    assert "oracle_comparison" in lines[-1]
+    assert lines[-1]["oracle_comparison"]["fen_match"]
+
+
 def _game_clip_frames():
     """Deterministic scripted 2-move game (e2e4, e7e5) on the hard
     renderer, with a textured-hand reach between the moves."""
