@@ -276,12 +276,92 @@ class MultiStreamPipeline:
 
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
+        def chunk_stream_major(state, frames, s2c_mask, s2c_given, refresh, consts):
+            """T ticks x N streams in one dispatch, STREAM-MAJOR: the outer
+            scan walks streams; each stream runs the tick scan with ITS
+            single-stream state as the (small) carry — exactly the
+            single-stream step_many program XLA already compiles to the
+            measured per-frame floor. The stacked per-stream state is
+            sliced ONCE per chunk per stream (outer scan xs) and written
+            once (outer ys) instead of per tick: the tick-major form's
+            per-tick dynamic-update-slice of the ~30 MB stacked state was
+            the batched path's last structural tax (~75 us/frame at 8
+            streams — PERF.md round 5). Streams are independent, so the
+            loop interchange is exact: per-(tick, stream) semantics equal
+            T sequential step() calls (parity-tested). Frames stay in the
+            caller's (T, N, ...) layout; each tick fetches its frame with
+            one dynamic_slice (reads only that frame — a host-side
+            transpose to stream-major would copy the whole multi-hundred-
+            MB chunk buffer instead)."""
+            from chessboard_vision_tpu.models.pipeline import nested_scan
+
+            t_len = frames.shape[0]
+            fdims = frames.shape[2:]  # (3, Hf, Wf) planar or (Hf, Wf, 3) HWC
+
+            def stream_body(_, xs):
+                pipe0, noise0, s_idx = xs
+                # Tiny per-stream tick inputs: one slice each, fed to the
+                # tick scan as xs. The frame buffer is NOT pre-sliced (that
+                # would copy T frames per stream); ticks fetch on demand.
+                m_s = jax.lax.dynamic_slice(
+                    s2c_mask, (0, s_idx, 0), (t_len, 1, 64)
+                )[:, 0]
+                g_s = jax.lax.dynamic_slice(
+                    s2c_given, (0, s_idx), (t_len, 1)
+                )[:, 0]
+                r_s = jax.lax.dynamic_slice(
+                    refresh, (0, s_idx), (t_len, 1)
+                )[:, 0]
+
+                def tick_body(carry, tick_xs):
+                    p, nz = carry
+                    t, m, g, r = tick_xs
+                    fr = jax.lax.dynamic_slice(
+                        frames, (t, s_idx) + (0,) * len(fdims), (1, 1) + fdims
+                    ).reshape(fdims)
+                    new_p, out = self.pipe._step_impl(p, fr, m, g, r, consts)
+                    new_nz, nout = fsm_ops.noise_step(nz, out.visual_changes)
+                    return (new_p, new_nz), (out, nout)
+
+                (pf, nf), (outs, nouts) = nested_scan(
+                    tick_body, (pipe0, noise0),
+                    (jnp.arange(t_len), m_s, g_s, r_s), t_len,
+                )
+                return None, (pf, nf, outs, nouts)
+
+            _, (pipe_s, noise_s, outs, nouts) = nested_scan(
+                stream_body, None,
+                (state.pipe, state.noise, jnp.arange(self.n_streams)),
+                self.n_streams,
+            )
+
+            def swap(x):  # (N, T, ...) -> the API's (T, N, ...)
+                return jnp.swapaxes(x, 0, 1)
+
+            return (
+                MultiStreamState(pipe_s, noise_s),
+                MultiStreamOutputs(
+                    jax.tree.map(swap, outs), jax.tree.map(swap, nouts)
+                ),
+            )
+
         def chunk(state, frames, s2c_mask, s2c_given, refresh, consts, fconsts, plan_arrays):
             # Scan over T ticks of the batched step: one dispatch + one
             # small D2H per T x N frames (the same per-dispatch overhead
             # amortization as VisionPipeline.step_many, applied to the
             # batched configuration). nested_scan keeps every flat scan
             # under length 32 (remote-compiler hang, CLAUDE.md).
+            # Shared-geometry single-chip runs take the stream-major form
+            # (outer scan over streams — no per-tick stacked-state carry);
+            # meshed runs keep tick-major (a stream scan would serialize
+            # the sharded axis), and per-stream-geometry mode keeps it too
+            # (its static per-stream resample plans cannot be selected by
+            # a traced stream index).
+            if self._stream_plans is None and self.mesh is None:
+                return chunk_stream_major(
+                    state, frames, s2c_mask, s2c_given, refresh, consts
+                )
+
             def body(st, xs):
                 fr, m, g, r = xs
                 st, out = step_fn(st, fr, m, g, r, consts, fconsts, plan_arrays)

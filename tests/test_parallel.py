@@ -392,3 +392,97 @@ class TestPerStreamChunkHWC:
                 np.asarray(out_chunk.step.occupancy[t]),
                 np.asarray(out_t.step.occupancy),
             ), f"tick {t}"
+
+
+class TestStreamMajorChunk:
+    """The shared-geometry single-chip step_chunk runs STREAM-MAJOR (outer
+    scan over streams, tick scan inside with the small single-stream carry
+    — PERF.md round 5). The loop interchange must be invisible: outputs
+    AND final state bit-equal to sequential per-tick step() calls."""
+
+    def test_chunk_bitexact_vs_sequential_ticks(self, rng):
+        from fixtures import make_board_frame
+
+        g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
+        n, t_len = 3, 4
+        occs = []
+        for i in range(n):
+            occ = initial_occupancy()
+            if i % 2:
+                occ[4, 1] = False
+                occ[4, 3] = True
+            if i == 2:
+                occ[0, 0] = False
+            occs.append(occ)
+        f0 = np.stack([make_board_frame(o, rng) for o in occs])
+        ticks = np.stack([
+            np.stack([make_board_frame(o, rng) for o in occs])
+            for _ in range(t_len)
+        ])  # (T, N, H, W, 3) HWC
+
+        ms = MultiStreamPipeline(g, n_streams=n)
+        state0 = ms.capture_reference(ms.init_state(), f0)
+
+        st_chunk, out_chunk = ms.step_chunk(
+            jax.tree.map(jnp.copy, state0), ticks
+        )
+
+        st_seq = jax.tree.map(jnp.copy, state0)
+        for t in range(t_len):
+            st_seq, out_t = ms.step(st_seq, ticks[t])
+            for field in out_t.step._fields:
+                assert np.array_equal(
+                    np.asarray(getattr(out_chunk.step, field)[t]),
+                    np.asarray(getattr(out_t.step, field)),
+                ), f"tick {t} field {field}"
+            for field in out_t.noise._fields:
+                assert np.array_equal(
+                    np.asarray(getattr(out_chunk.noise, field)[t]),
+                    np.asarray(getattr(out_t.noise, field)),
+                ), f"tick {t} noise field {field}"
+        for a, b in zip(jax.tree.leaves(st_chunk), jax.tree.leaves(st_seq)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        # decisions also match ground truth
+        for i, occ in enumerate(occs):
+            truth = {(f, r) for f in range(8) for r in range(8) if occ[f, r]}
+            assert occupancy_to_set(
+                np.asarray(out_chunk.step.occupancy[-1, i])
+            ) == truth, i
+
+    def test_chunk_bitexact_with_enhancer(self, rng):
+        """BASELINE config 1 on the stream-major chunk: with_enhancer
+        ticks equal sequential enhanced step() calls."""
+        from fixtures import make_board_frame
+        from chessboard_vision_tpu.ops import static_resample as sr
+
+        profile = {"contrast": 1.1, "brightness": 5}
+        g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
+        n, t_len = 2, 3
+        occ = initial_occupancy()
+        f0 = np.stack([
+            sr.to_planar(make_board_frame(occ, rng)) for _ in range(n)
+        ])
+        ticks = np.stack([
+            np.stack([
+                sr.to_planar(make_board_frame(occ, rng)) for _ in range(n)
+            ])
+            for _ in range(t_len)
+        ])  # (T, N, 3, H, W) planar
+
+        ms = MultiStreamPipeline(
+            g, n_streams=n, with_enhancer=True, enhancer_profile=profile,
+        )
+        state0 = ms.capture_reference(ms.init_state(), f0)
+        st_chunk, out_chunk = ms.step_chunk(
+            jax.tree.map(jnp.copy, state0), ticks
+        )
+        st_seq = jax.tree.map(jnp.copy, state0)
+        for t in range(t_len):
+            st_seq, out_t = ms.step(st_seq, ticks[t])
+            for field in out_t.step._fields:
+                assert np.array_equal(
+                    np.asarray(getattr(out_chunk.step, field)[t]),
+                    np.asarray(getattr(out_t.step, field)),
+                ), f"tick {t} field {field}"
+        for a, b in zip(jax.tree.leaves(st_chunk), jax.tree.leaves(st_seq)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
