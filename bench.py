@@ -502,6 +502,13 @@ def main():
                 f"{args.streams}-stream enhanced (chunk {tbe})",
                 with_enh=True,
             )
+            # Honesty variant (VERDICT r4 item 7): every tick of every
+            # stream a DISTINCT frame, like the plain batched bench.
+            extras["batched_enhanced_distinct_fps"] = bench_batched(
+                args.streams, tbe, 4,
+                f"{args.streams}-stream enhanced distinct (chunk {tbe})",
+                with_enh=True, distinct=True,
+            )
         except Exception as e:
             log(f"batched-enhanced bench skipped: {e}")
 

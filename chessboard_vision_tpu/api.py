@@ -165,7 +165,9 @@ def frame_to_full_fen(
     from chessboard_vision_tpu.rules import chess, classify_piece_colors
     from chessboard_vision_tpu.rules.piece_types import (
         PieceTypeClassifier,
+        average_extents,
         average_radii,
+        mask_radii_by_method,
         occupancy_to_full_fen,
     )
 
@@ -178,28 +180,34 @@ def frame_to_full_fen(
     pipe, state = _pipeline_for(corners, settings)
     all_sq = {(f, r) for f in range(8) for r in range(8)}
 
-    def radii_over(st, frs):
-        rads, out = [], None
+    def features_over(st, frs):
+        rads, exts, out = [], [], None
         for fr in frs:
             st, out = pipe.step(
                 st, fr, squares_to_check=all_sq,
                 use_smoothing=False, use_delta=False,
             )
-            rads.append(np.asarray(out.radius))
-        return st, average_radii(np.stack(rads)), out
+            rads.append(mask_radii_by_method(out.radius, out.method))
+            exts.append(np.asarray(out.profile_extent))
+        return (
+            st,
+            average_radii(np.stack(rads)),
+            average_extents(np.stack(exts)),
+            out,
+        )
 
     state = pipe.capture_reference(state, calibration_frames[0])
-    state, cal_radii, _ = radii_over(state, calibration_frames)
+    state, cal_radii, cal_extents, _ = features_over(state, calibration_frames)
     clf = PieceTypeClassifier()
-    clf.calibrate(cal_radii, calibration_board)
+    clf.calibrate(cal_radii, calibration_board, extents=cal_extents)
 
     state = pipe.capture_reference(state, target_frames[0])
-    state, radii, out = radii_over(state, target_frames)
+    state, radii, extents, out = features_over(state, target_frames)
     occ = np.asarray(out.occupancy)
     colors = classify_piece_colors(
         np.asarray(out.center_mean), occ, np.asarray(out.corner_mean)
     )
-    chars = clf.classify(radii, occ, colors)
+    chars = clf.classify(radii, occ, colors, extents=extents)
     return occupancy_to_full_fen(occ.reshape(8, 8).T, chars, piece_colors=colors)
 
 

@@ -74,6 +74,12 @@ class DetectAllOutputs(NamedTuple):
     border_mean: jnp.ndarray  # (64,) f32 — THIS frame's corner-patch mean
     #   (always fresh, never cached: they feed the piece-color classifier
     #   which must see the current image)
+    extent: jnp.ndarray  # (64,) f32 — THIS frame's ring-coverage size
+    #   profile (ops/piece.py). Always fresh like the means: it is an
+    #   intensity feature of the current image, consumed averaged over the
+    #   session's stability window (where the square is static anyway), so
+    #   caching it would add a PieceState leaf for nothing — and keeping
+    #   the state pytree unchanged keeps old checkpoints loadable.
 
 
 def _mean_diff_exceeds(gray, ref, counts, valid, threshold):
@@ -191,6 +197,7 @@ def detect_all(
         radius=raw_radius,
         center_mean=fresh.center_mean,
         border_mean=fresh.border_mean,
+        extent=fresh.extent,
     )
     return new_state, outputs
 

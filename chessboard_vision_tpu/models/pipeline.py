@@ -76,6 +76,13 @@ class StepOutputs(NamedTuple):
     # (background) regions. center/corner feed the host-side light/dark
     # piece-color classifier (rules.classify_piece_colors -> colored FEN);
     # the corner mean normalizes out illumination (shadow/glare).
+    profile_extent: jnp.ndarray  # (64,) f32 — ring-coverage piece-size
+    # profile in [0, 4] (-1 invalid), from reductions the cascade already
+    # computes (ops/piece.py). Second feature of the piece-TYPE classifier
+    # (rules/piece_types.py): sub-pixel, and available on squares the
+    # cascade resolved WITHOUT a circle (center_diff/symmetry), which
+    # carry only a fallback radius. Adds 256 B to the per-frame D2H —
+    # measured invisible on the latency-dominated readback path.
 
 
 def nested_scan(body, state, xs, length: int, inner: int = 16):
@@ -431,6 +438,7 @@ class VisionPipeline:
             # no extra pass over gray.
             center_mean=det.center_mean,
             corner_mean=det.border_mean,
+            profile_extent=det.extent,
         )
         return PipelineState(piece=piece_state, change=change_state), outputs
 

@@ -97,6 +97,11 @@ class PieceDetections(NamedTuple):
     #   patches (warp_ops.masked_mean; the pipeline reuses them for
     #   StepOutputs' piece-color features instead of re-stating the
     #   reductions).
+    extent: jnp.ndarray  # (64,) f32 — ring-coverage piece-size profile
+    #   in [0, 4] (-1 = invalid/low-contrast); see the comment at its
+    #   computation. Feeds the piece-TYPE classifier
+    #   (rules/piece_types.py) as a sub-pixel size feature that does not
+    #   need the Hough stage to have resolved a circle.
 
 
 # Shared with the pipeline's StepOutputs color features: detect_pieces
@@ -175,6 +180,37 @@ def detect_pieces(
     symmetry = jnp.minimum(1.0, ring_var / 500.0)
     sym_found = symmetry > circle_threshold
 
+    # Piece-size profile extent (piece-TYPE feature, rules/piece_types.py):
+    # per ring, the fraction of pixels CLOSER to the piece intensity
+    # (center_mean) than to the background (border_mean) — which reduces
+    # to one compare against the midpoint, in the direction of the
+    # contrast sign. Summed over the 4 rings this is a MONOTONE sub-pixel
+    # size readout in [0, 4], available every frame and independent of
+    # whether the Hough stage resolved a circle (center_diff/symmetry
+    # squares carry only the min_dim//3 fallback radius below). The
+    # binary vote — unlike a linear (ring-border)/(center-border) mix —
+    # is robust to third intensities (the dark rim real pieces and the
+    # fixtures both have) and to low-contrast pairings (light piece on a
+    # light square), which otherwise skew the readout by the SQUARE's
+    # color: a one-class-off bias on half the board (measured on the
+    # start position). Low-contrast squares (|center - border| < 8,
+    # typically empty) report -1 so hosts can filter.
+    denom = center_mean - border_mean
+    mid = 0.5 * (center_mean + border_mean)
+    piece_side = jnp.where(
+        (denom >= 0.0)[:, None, None],
+        gf > mid[:, None, None],
+        gf < mid[:, None, None],
+    )
+    ring_cov = jnp.sum(
+        piece_side[:, None] * masks.rings, axis=(-2, -1)
+    ) / jnp.maximum(masks.ring_counts.astype(jnp.float32), 1.0)
+    extent = jnp.where(
+        jnp.abs(denom) >= 8.0,
+        jnp.sum(ring_cov, axis=-1),
+        -1.0,
+    ).astype(jnp.float32)
+
     # Cascade combine.
     has = std_ok & (h_found | cb_found | sym_found)
     method = jnp.where(
@@ -223,4 +259,5 @@ def detect_pieces(
         symmetry=symmetry,
         center_mean=center_mean,
         border_mean=border_mean,
+        extent=extent,
     )

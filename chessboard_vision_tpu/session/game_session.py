@@ -90,6 +90,7 @@ class GameSession:
         from collections import deque
 
         self._radius_window = deque(maxlen=8)
+        self._extent_window = deque(maxlen=8)  # profile_extent, in lockstep
         self._radius_window_occ = None
         self.piece_types = None
         self.log = get_logger("session")
@@ -316,6 +317,7 @@ class GameSession:
             self.stable_count = 0
             self.stable_occupancy = None
             self._radius_window.clear()
+            self._extent_window.clear()
             self._refresh_next = False
             self.log.warning("auto-recalibrated to shifted corners; game preserved")
 
@@ -342,31 +344,45 @@ class GameSession:
     # -- piece-type classification (full FEN from vision) ----------------
 
     def _track_radii(self, vision_occupied, out):
-        """Accumulate per-square radii from frames that agree with the
-        rules board (the stability window the radius classifier needs —
-        see rules.piece_types.average_radii). Once per position, a full
-        window also refreshes the classifier's centroids with
+        """Accumulate per-square (radius, extent) features from frames that
+        agree with the rules board (the stability window the type
+        classifier needs — see rules.piece_types.average_radii). Radii are
+        masked by cascade method first: center_diff/symmetry squares carry
+        only the min_dim//3 fallback, not a measured circle — their size
+        comes from the ring-coverage extent instead. Once per position, a
+        full window also refreshes the classifier's centroids with
         rules-labeled samples: the radius readout carries a per-square
         neighborhood bias, so the model must keep learning from isolated
         placements, not just the dense initial setup."""
+        from chessboard_vision_tpu.rules.piece_types import mask_radii_by_method
+
         with self.board_lock:
             expected = self.game.get_board_occupancy()
         if expected != self._radius_window_occ:
             self._radius_window.clear()
+            self._extent_window.clear()
             self._radius_window_occ = set(expected)
             self._types_updated_here = False
         if vision_occupied == expected:
-            self._radius_window.append(np.asarray(out.radius))
+            self._radius_window.append(
+                mask_radii_by_method(out.radius, out.method)
+            )
+            self._extent_window.append(np.asarray(out.profile_extent))
         if (
             self.piece_types is not None
             and not getattr(self, "_types_updated_here", False)
             and len(self._radius_window) == self._radius_window.maxlen
         ):
-            from chessboard_vision_tpu.rules.piece_types import average_radii
+            from chessboard_vision_tpu.rules.piece_types import (
+                average_extents,
+                average_radii,
+            )
 
             with self.board_lock:
                 self.piece_types.update(
-                    average_radii(np.stack(self._radius_window)), self.game.board
+                    average_radii(np.stack(self._radius_window)),
+                    self.game.board,
+                    extents=average_extents(np.stack(self._extent_window)),
                 )
             self._types_updated_here = True
 
@@ -382,13 +398,16 @@ class GameSession:
             return None
         from chessboard_vision_tpu.rules.piece_types import (
             PieceTypeClassifier,
+            average_extents,
             average_radii,
         )
 
         clf = PieceTypeClassifier()
         with self.board_lock:
             clf.calibrate(
-                average_radii(np.stack(self._radius_window)), self.game.board
+                average_radii(np.stack(self._radius_window)),
+                self.game.board,
+                extents=average_extents(np.stack(self._extent_window)),
             )
         self.piece_types = clf
         return clf.centroids
@@ -405,6 +424,7 @@ class GameSession:
             return None
         from chessboard_vision_tpu.rules import classify_piece_colors
         from chessboard_vision_tpu.rules.piece_types import (
+            average_extents,
             average_radii,
             occupancy_to_full_fen,
         )
@@ -415,7 +435,8 @@ class GameSession:
             np.asarray(out.center_mean), occ, np.asarray(out.corner_mean)
         )
         chars = self.piece_types.classify(
-            average_radii(np.stack(self._radius_window)), occ, colors
+            average_radii(np.stack(self._radius_window)), occ, colors,
+            extents=average_extents(np.stack(self._extent_window)),
         )
         return occupancy_to_full_fen(occ.reshape(8, 8).T, chars, piece_colors=colors)
 

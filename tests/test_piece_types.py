@@ -221,3 +221,153 @@ def test_promotion_full_fen_sees_queen_on_e8(rng):
     # e8 (rank 8, file e) reads as 'Q' through the vision radius — not a
     # pawn placeholder and not the pre-promotion 'P'.
     assert got.split("/")[0] == "k3Q3", got
+
+
+def test_knight_without_circle_is_classified_by_extent():
+    """A square the cascade resolved WITHOUT a circle (radius masked to 0)
+    must still be typed from its ring-coverage extent — not degrade to
+    '?' -> pawn placeholder (VERDICT r4 item 2)."""
+    board = chess.Board()
+    base_r = {1: 18, 2: 21, 3: 24, 4: 26, 5: 29, 6: 32}
+    base_e = {1: 1.2, 2: 1.5, 3: 2.1, 4: 2.6, 5: 3.2, 6: 3.8}
+    radius = np.zeros(64)
+    extent = np.full(64, -1.0)
+    for sq in range(64):
+        p = board.piece_at(sq)
+        if p is not None:
+            radius[sq] = base_r[p.piece_type]
+            extent[sq] = base_e[p.piece_type]
+    clf = PieceTypeClassifier()
+    clf.calibrate(radius, board, extents=extent)
+    assert len(clf.extent_centroids) == 12
+
+    occ = np.zeros(64, bool)
+    colors = np.full(64, -1, np.int8)
+    for sq in range(64):
+        p = board.piece_at(sq)
+        if p is not None:
+            occ[sq] = True
+            colors[sq] = 1 if p.color else 0
+    # knights on b1/g1: no circle resolved this window (radius 0), but a
+    # valid knight-sized extent
+    rad2 = radius.copy()
+    rad2[1] = rad2[6] = 0.0
+    chars = clf.classify(rad2, occ, colors, extents=extent)
+    assert chars[1] == "N" and chars[6] == "N"
+    # and with NO extents supplied the same squares degrade (the old
+    # radius-only behavior) — the feature is doing the work
+    chars_old = clf.classify(rad2, occ, colors)
+    assert chars_old[1] == "?" and chars_old[6] == "?"
+
+
+def test_close_radii_split_by_extent():
+    """Knight/bishop bases ~1 px apart: the integer Hough radius reads
+    them identically, the sub-pixel extent still separates them."""
+    clf = PieceTypeClassifier()
+    clf.centroids = {(1, chess.KNIGHT): 22.0, (1, chess.BISHOP): 23.0}
+    clf.extent_centroids = {(1, chess.KNIGHT): 1.70, (1, chess.BISHOP): 2.05}
+    occ = np.zeros(64, bool)
+    occ[1] = occ[2] = True
+    colors = np.full(64, -1, np.int8)
+    colors[1] = colors[2] = 1
+    radius = np.zeros(64)
+    radius[1] = radius[2] = 22.0  # the tied integer reading
+    extent = np.full(64, -1.0)
+    extent[1], extent[2] = 1.72, 2.03
+    chars = clf.classify(radius, occ, colors, extents=extent)
+    assert chars[1] == "N" and chars[2] == "B", chars[[1, 2]]
+
+
+def test_mask_radii_by_method():
+    from chessboard_vision_tpu.rules.piece_types import mask_radii_by_method
+
+    radius = np.array([20, 25, 25, 25, 25])
+    method = np.array([1, 2, 3, 4, 0])  # hough, tower_top, cdiff, sym, none
+    got = mask_radii_by_method(radius, method)
+    assert got.tolist() == [20, 25, 0, 0, 0]
+
+
+@pytest.mark.slow
+def test_knight_typed_through_vision_when_hough_is_off(rng):
+    """End-to-end VERDICT r4 item 2 case: with the Hough stage effectively
+    disabled (param2 far above any attainable vote count), every piece
+    square resolves via center_diff/symmetry — masked radius 0 — yet
+    full-FEN classification still reads knights (and every other type)
+    from the profile extent."""
+    from chessboard_vision_tpu.rules.piece_types import (
+        average_extents,
+        mask_radii_by_method,
+    )
+
+    g = geo.BoardGeometry.from_calibration(DEFAULT_CORNERS)
+    # center_diff_threshold lowered through the calibrator seam: with the
+    # circle stage off, a bright piece on a light square (center-border
+    # contrast ~18 gray levels) must still pass the presence gate.
+    pipe = VisionPipeline(g, detector_overrides={
+        "hough_param2": 10_000, "center_diff_threshold": 12.0,
+    })
+    all_squares = {(f, r) for f in range(8) for r in range(8)}
+
+    def features(state, maps, frames=3):
+        o, c, r = maps
+        rads, exts, out = [], [], None
+        for _ in range(frames):
+            state, out = pipe.step(
+                state,
+                make_board_frame(o, rng, piece_colors=c, piece_radii=r),
+                squares_to_check=all_squares, use_delta=False,
+            )
+            rads.append(mask_radii_by_method(out.radius, out.method))
+            exts.append(np.asarray(out.profile_extent))
+        return (
+            state,
+            average_radii(np.stack(rads)),
+            average_extents(np.stack(exts)),
+            out,
+        )
+
+    start = chess.Board()
+    maps0 = board_render_maps(start)
+    f0 = make_board_frame(maps0[0], rng, piece_colors=maps0[1], piece_radii=maps0[2])
+    state = pipe.capture_reference(pipe.init_state(), f0)
+    state, radii0, extents0, out0 = features(state, maps0)
+    # Hough is really off: no measured circle anywhere
+    assert radii0.max() == 0.0
+    assert np.asarray(out0.method)[np.asarray(out0.occupancy)].min() >= 3
+
+    clf = PieceTypeClassifier()
+    clf.calibrate(radii0, start, extents=extents0)
+    assert not clf.centroids  # no radius feature available at all
+    assert len(clf.extent_centroids) == 12
+
+    occ = np.asarray(out0.occupancy)
+    colors = classify_piece_colors(
+        np.asarray(out0.center_mean), occ, np.asarray(out0.corner_mean)
+    )
+    chars = clf.classify(radii0, occ, colors, extents=extents0)
+
+    # With the circle stage off, PRESENCE on a handful of white-on-light
+    # squares legitimately fails the cascade's std>=15 prefilter (the
+    # faint +18-gray disc is exactly what the outline-driven Hough stage
+    # exists to catch; the reference cascade behaves the same). The claim
+    # under test is the TYPING: every square the cascade did resolve must
+    # be typed correctly from the extent alone — never '?', never the
+    # wrong piece.
+    light_sq = {sq for sq in range(64) if (sq // 8 + sq % 8) % 2 == 1}
+    missed = {sq for sq in range(64) if start.piece_at(sq) and not occ[sq]}
+    assert missed <= {
+        sq for sq in light_sq
+        if start.piece_at(sq) and start.piece_at(sq).color
+    }, f"unexpected misses: {missed}"
+    n_typed = 0
+    for sq in range(64):
+        p = start.piece_at(sq)
+        if p is None or not occ[sq]:
+            continue
+        assert chars[sq] == p.symbol(), (sq, chars[sq], p.symbol())
+        n_typed += 1
+    assert n_typed >= 24  # the full black side + most of white
+    # knight squares specifically were typed, not '?'-degraded: g1 (the
+    # detected white knight) and both black knights
+    for sq, want in ((6, "N"), (57, "n"), (62, "n")):
+        assert occ[sq] and chars[sq] == want, (sq, chars[sq])
