@@ -496,16 +496,23 @@ def main():
         # Batched-enhanced datapoint (BASELINE config 1 in the N-stream
         # deployment shape — VERDICT r3 items 3/5).
         try:
+            # Chunk/pass sizing matches the single-enhanced measure's drain
+            # amortization: the end-of-pass pipeline drain costs one tunnel
+            # RTT (~26 ms); at 4 chunks x 8 ticks it added ~0.8 ms/tick
+            # (~0.10 ms/frame — 4x the overhead the 512-frame single-
+            # enhanced passes carry), understating steady-state throughput
+            # by ~5%. 16 chunks -> 128 ticks/pass, same per-frame drain
+            # share as the single-stream enhanced datapoint.
             tbe = 8
             extras["batched_enhanced_fps"] = bench_batched(
-                args.streams, tbe, 4,
+                args.streams, tbe, 16,
                 f"{args.streams}-stream enhanced (chunk {tbe})",
                 with_enh=True,
             )
             # Honesty variant (VERDICT r4 item 7): every tick of every
             # stream a DISTINCT frame, like the plain batched bench.
             extras["batched_enhanced_distinct_fps"] = bench_batched(
-                args.streams, tbe, 4,
+                args.streams, tbe, 16,
                 f"{args.streams}-stream enhanced distinct (chunk {tbe})",
                 with_enh=True, distinct=True,
             )
