@@ -27,6 +27,29 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
+def clahe_luts_from_hist(
+    hist: jnp.ndarray, area: int, clip_abs: int
+) -> jnp.ndarray:
+    """(n_tiles, 256) i32 histograms -> (n_tiles, 256) f32 integer-valued
+    LUTs: clip + OpenCV's two-phase excess redistribution + scaled CDF
+    (the CLAHE mid phase shared by every backend; split out so the floor
+    ablation tool can time it through the production path)."""
+    n_tiles = hist.shape[0]
+    excess = jnp.sum(jnp.maximum(hist - clip_abs, 0), axis=-1)
+    hist = jnp.minimum(hist, clip_abs)
+    batch = excess // 256
+    resid = excess - batch * 256
+    hist = hist + batch[:, None]
+    step = jnp.maximum(256 // jnp.maximum(resid, 1), 1)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, 256), 1)
+    bump = ((bins % step[:, None]) == 0) & ((bins // step[:, None]) < resid[:, None])
+    hist = hist + bump.astype(jnp.int32)
+
+    cdf = jnp.cumsum(hist, axis=-1)
+    scale = jnp.float32(255.0 / area)
+    return jnp.clip(jnp.round(cdf.astype(jnp.float32) * scale), 0, 255)
+
+
 @partial(jax.jit, static_argnames=("clip_limit", "tiles", "backend"))
 def clahe(
     img: jnp.ndarray, clip_limit: float = 3.0, tiles: int = 8, backend: str = "auto"
@@ -84,20 +107,7 @@ def clahe(
             (tiled.astype(jnp.int32)[:, :, None] == bins).astype(jnp.int32), axis=1
         )
 
-    # Clip + OpenCV's two-phase excess redistribution.
-    excess = jnp.sum(jnp.maximum(hist - clip_abs, 0), axis=-1)
-    hist = jnp.minimum(hist, clip_abs)
-    batch = excess // 256
-    resid = excess - batch * 256
-    hist = hist + batch[:, None]
-    step = jnp.maximum(256 // jnp.maximum(resid, 1), 1)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, 256), 1)
-    bump = ((bins % step[:, None]) == 0) & ((bins // step[:, None]) < resid[:, None])
-    hist = hist + bump.astype(jnp.int32)
-
-    cdf = jnp.cumsum(hist, axis=-1)
-    scale = jnp.float32(255.0 / area)
-    luts = jnp.clip(jnp.round(cdf.astype(jnp.float32) * scale), 0, 255)  # (n_tiles, 256) f32
+    luts = clahe_luts_from_hist(hist, area, clip_abs)  # (n_tiles, 256) f32
 
     if backend == "pallas":
         from chessboard_vision_tpu.ops.pallas.clahe_apply import (

@@ -83,11 +83,27 @@ def _pick_pad_band(h: int, w: int):
         hp += 1
 
 
-@partial(jax.jit, static_argnames=("d", "sigma_color", "sigma_space"))
+@partial(jax.jit, static_argnames=("d", "sigma_color", "sigma_space", "_ablate"))
 def bilateral_planar_pallas(
-    img: jnp.ndarray, d: int = 9, sigma_color: float = 75.0, sigma_space: float = 75.0
+    img: jnp.ndarray,
+    d: int = 9,
+    sigma_color: float = 75.0,
+    sigma_space: float = 75.0,
+    _ablate: str = "",
 ) -> jnp.ndarray:
-    """Drop-in for ops.enhance.bilateral_planar on (3, H, W) u8."""
+    """Drop-in for ops.enhance.bilateral_planar on (3, H, W) u8.
+
+    _ablate selects MEASUREMENT-ONLY trace-time variants for the floor
+    table (tools/ablate_enhanced.py; PERF.md round 5) — never set in
+    production, output values are meaningless for != "":
+      "noexp"  — exp(x) replaced by x (isolates the transcendental cost);
+      "cdonly" — taps accumulate the color distance and raw neighborhood
+                 only (no weight math: the irreducible load+|nb-center|
+                 floor of the 69-tap stencil);
+      "shifts" — no tap loop at all (DMA + the 9 lane-shifted f32 copies
+                 + output write: the kernel's fixed data-movement floor).
+    The variants share every line of the production kernel except the
+    gated expressions, so differences are attributable."""
     C, H, W = img.shape
     # Pad H up to the nearest height with an 8-divisible row band (Mosaic
     # needs the output block's sublane dim 8-divisible); extra rows carry
@@ -147,6 +163,10 @@ def bilateral_planar_pallas(
             # running sum), not VMEM refs: the ref RMW per tap was ~30% of
             # the kernel (0.464 -> 0.334 ms at 984^2 measured). Only the
             # running sums stay live, so the Mosaic stack stays bounded.
+            if _ablate == "shifts":
+                res = jnp.clip(jnp.round(center), 0, 255)
+                out_ref[:] = res.astype(jnp.int32).astype(jnp.uint8)
+                return
             num = None
             den = None
             for dy in range(span):
@@ -158,8 +178,14 @@ def bilateral_planar_pallas(
                         continue
                     nb = shifted_ref[dx, :, dy : dy + band, :]
                     cd = jnp.sum(jnp.abs(nb - center), axis=0)
-                    w = jnp.float32(sw) * jnp.exp(cd * cd * jnp.float32(gc))
-                    t = w[None] * nb
+                    if _ablate == "cdonly":
+                        t, w = nb, cd
+                    else:
+                        cw = cd * cd * jnp.float32(gc)
+                        if _ablate != "noexp":
+                            cw = jnp.exp(cw)
+                        w = jnp.float32(sw) * cw
+                        t = w[None] * nb
                     rn = t if rn is None else rn + t
                     rd = w if rd is None else rd + w
                 num = rn if num is None else num + rn

@@ -144,9 +144,14 @@ def clahe_hist_pallas(
 # forced a per-row lane->sublane relayout — and was removed. v3's
 # balanced 64/64 split with both operands (64, P) is the live fast path.
 
-@partial(jax.jit, static_argnames=("th", "tw", "tiles", "band"))
+@partial(jax.jit, static_argnames=("th", "tw", "tiles", "band", "_ablate"))
 def clahe_hist_pallas_v3(
-    pad_img: jnp.ndarray, th: int, tw: int, tiles: int, band: int = 16
+    pad_img: jnp.ndarray,
+    th: int,
+    tw: int,
+    tiles: int,
+    band: int = 16,
+    _ablate: str = "",
 ) -> jnp.ndarray:
     """Balanced-split per-tile histograms: ~2.5x less VPU issue than v1.
 
@@ -174,6 +179,12 @@ def clahe_hist_pallas_v3(
     Requires th >= band and tiles == 8. Returns (n_tiles, 256) i32,
     bit-identical to clahe_hist_pallas (exact 0/1 bf16 products, f32
     accumulation).
+
+    _ablate (MEASUREMENT-ONLY, tools/ablate_enhanced.py / PERF.md round
+    5; output is garbage for != ""): "matonly" skips the per-row one-hot
+    build loop and runs the dot + accumulation on whatever the scratch
+    holds — full minus matonly is the one-hot build (compare+write)
+    share the round-4 notes call compare-issue-bound.
     """
     Hp, Wp = pad_img.shape
     n_tiles = tiles * tiles
@@ -198,7 +209,7 @@ def clahe_hist_pallas_v3(
             # Static column-tile index; padded columns (x >= Wp) match no
             # Bt row.
             txc = jnp.where(xs_row < Wp, xs_row // tw, SENT)
-            for r in range(band):
+            for r in range(band) if _ablate != "matonly" else range(0):
                 ty_r = (i * band + r) // th
                 # Row group within the band's tile-row pair; Hq-padding
                 # rows (ty_r >= tiles) match no A row.
@@ -249,7 +260,7 @@ def clahe_hist_pallas_v3(
     return out.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("th", "tw", "tiles", "band"))
+@partial(jax.jit, static_argnames=("th", "tw", "tiles", "band", "_ablate"))
 def clahe_apply_pallas_v2(
     pad_img: jnp.ndarray,
     luts: jnp.ndarray,
@@ -257,6 +268,7 @@ def clahe_apply_pallas_v2(
     tw: int,
     tiles: int,
     band: int = 8,
+    _ablate: str = "",
 ) -> jnp.ndarray:
     """Parity-split, tile-row-sliced LUT mix: bit-identical to
     clahe_apply_pallas with ~5x less MXU work and half the one-hot build.
@@ -284,6 +296,12 @@ def clahe_apply_pallas_v2(
     LUT entry accumulated in f32, so the selected value equals v1's
     exactly; the blend math is untouched — output is bit-identical
     (tests/test_pallas_clahe.py, TPU-only).
+
+    _ablate (MEASUREMENT-ONLY, tools/ablate_enhanced.py / PERF.md round
+    5; output is garbage for != ""): "matonly" keeps the one-hot build +
+    E matmul and writes E rows straight out (no bilinear blend);
+    "blendonly" skips the one-hot and matmul and blends whatever the E
+    scratch holds (the per-row wx/fy mix floor).
     """
     Hp, Wp = pad_img.shape
     n_tiles = tiles * tiles
@@ -318,19 +336,29 @@ def clahe_apply_pallas_v2(
         def body(oh_ref, e_ref):
             vals = x_ref[:].astype(jnp.int32)  # (band, Wq)
 
-            # Half-value one-hot (128 rows): static lane offsets per row.
-            jbin = jax.lax.broadcasted_iota(jnp.int32, (128, Wq), 0)
-            for r in range(band):
-                oh_ref[:, r * Wq : (r + 1) * Wq] = (
-                    jbin == (vals[r : r + 1, :] >> 1)
-                ).astype(jnp.bfloat16)
+            if _ablate != "blendonly":
+                # Half-value one-hot (128 rows): static lane offsets per row.
+                jbin = jax.lax.broadcasted_iota(jnp.int32, (128, Wq), 0)
+                for r in range(band):
+                    oh_ref[:, r * Wq : (r + 1) * Wq] = (
+                        jbin == (vals[r : r + 1, :] >> 1)
+                    ).astype(jnp.bfloat16)
 
-            # E[(t-t_lo, s), p] = luts[t][2*(v>>1) + s] for the 3 live
-            # tile rows: one (48, 128) @ (128, P) MXU pass.
-            a_sl = a_ref[pl.ds(pl.multiple_of(t_lo * 16, 8), 48), :]
-            e_ref[:] = jnp.dot(
-                a_sl, oh_ref[:], preferred_element_type=jnp.float32
-            )
+                # E[(t-t_lo, s), p] = luts[t][2*(v>>1) + s] for the 3 live
+                # tile rows: one (48, 128) @ (128, P) MXU pass.
+                a_sl = a_ref[pl.ds(pl.multiple_of(t_lo * 16, 8), 48), :]
+                e_ref[:] = jnp.dot(
+                    a_sl, oh_ref[:], preferred_element_type=jnp.float32
+                )
+
+            if _ablate == "matonly":
+                for r in range(band):
+                    row = pl.ds(r * Wq, Wq)
+                    res = jnp.clip(jnp.round(e_ref[0:1, row]), 0, 255)
+                    out_ref[r : r + 1, :] = res.astype(jnp.int32).astype(
+                        jnp.uint8
+                    )
+                return
 
             # Per-column x-weights (identical to v1).
             xs = jax.lax.broadcasted_iota(jnp.int32, (1, Wq), 1).astype(
