@@ -107,10 +107,14 @@ def enhance_planar(
     VisionPipeline(with_enhancer=True).
     """
     x = apply_color_profile(planar, profile or {})
-    lab = color_ops.bgr2lab(_hwc(x))
-    l_enh = enh_ops.clahe(lab[..., 0], clahe_clip, clahe_tiles)
-    lab2 = jnp.concatenate([l_enh[..., None], lab[..., 1:]], axis=-1)
-    x = _planar(color_ops.lab2bgr(lab2))
+    # Planar-native Lab round trip: bit-equal to the HWC forms per pixel
+    # and transpose-free by construction (measured perf-neutral — XLA
+    # already fused the old moveaxis pair into the conversions; PERF.md
+    # round 5 cont. 2).
+    lab = color_ops.planar_bgr2lab(x)
+    l_enh = enh_ops.clahe(lab[0], clahe_clip, clahe_tiles)
+    lab2 = jnp.concatenate([l_enh[None], lab[1:]], axis=0)
+    x = color_ops.planar_lab2bgr(lab2)
     x = bilateral(x, bilateral_backend)
     x = sharpen(x)
     return normalize_minmax(x)
@@ -139,10 +143,10 @@ class ImageEnhancerTPU:
     # -- stages (device) --------------------------------------------------
 
     def _correct_lighting(self, planar):
-        lab = color_ops.bgr2lab(_hwc(planar))
-        l_enh = enh_ops.clahe(lab[..., 0], self.clip, self.tiles)
-        lab2 = jnp.concatenate([l_enh[..., None], lab[..., 1:]], axis=-1)
-        return _planar(color_ops.lab2bgr(lab2))
+        lab = color_ops.planar_bgr2lab(planar)
+        l_enh = enh_ops.clahe(lab[0], self.clip, self.tiles)
+        lab2 = jnp.concatenate([l_enh[None], lab[1:]], axis=0)
+        return color_ops.planar_lab2bgr(lab2)
 
     def _pipeline_impl(self, planar):
         return enhance_planar(

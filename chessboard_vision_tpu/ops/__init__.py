@@ -12,6 +12,8 @@ from chessboard_vision_tpu.ops.color import (
     hsv2bgr,
     bgr2lab,
     lab2bgr,
+    planar_bgr2lab,
+    planar_lab2bgr,
     convert_scale_abs,
 )
 from chessboard_vision_tpu.ops.filters import (
@@ -30,6 +32,8 @@ __all__ = [
     "hsv2bgr",
     "bgr2lab",
     "lab2bgr",
+    "planar_bgr2lab",
+    "planar_lab2bgr",
     "convert_scale_abs",
     "gaussian_blur",
     "gaussian_kernel_u8",

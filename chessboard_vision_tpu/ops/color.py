@@ -233,12 +233,13 @@ def _cbrt_fixed(idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(f * (1 << _LAB_SHIFT2)).astype(jnp.int32)
 
 
-def bgr2lab(bgr: jnp.ndarray) -> jnp.ndarray:
-    """cv2.COLOR_BGR2LAB for u8 (fixed-point; parity within 1 level)."""
-    x = bgr.astype(jnp.int32)
-    B = _gamma_fixed(x[..., 0])
-    G = _gamma_fixed(x[..., 1])
-    R = _gamma_fixed(x[..., 2])
+def _bgr2lab_channels(b_u8, g_u8, r_u8):
+    """Per-channel BGR u8 -> (L, a, b) i32 pre-clip: the layout-free core
+    shared by the HWC and planar forms (identical expression tree, so the
+    two layouts produce bit-equal values)."""
+    B = _gamma_fixed(b_u8)
+    G = _gamma_fixed(g_u8)
+    R = _gamma_fixed(r_u8)
     C = _LAB_C
     fX = _cbrt_fixed(_descale(R * int(C[0, 0]) + G * int(C[0, 1]) + B * int(C[0, 2]), _LAB_SHIFT))
     fY = _cbrt_fixed(_descale(R * int(C[1, 0]) + G * int(C[1, 1]) + B * int(C[1, 2]), _LAB_SHIFT))
@@ -246,7 +247,29 @@ def bgr2lab(bgr: jnp.ndarray) -> jnp.ndarray:
     L = _descale(_LSCALE * fY + _LSHIFT, _LAB_SHIFT2)
     a = _descale(500 * (fX - fY) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
     bb = _descale(200 * (fY - fZ) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    return L, a, bb
+
+
+def bgr2lab(bgr: jnp.ndarray) -> jnp.ndarray:
+    """cv2.COLOR_BGR2LAB for u8 (fixed-point; parity within 1 level)."""
+    x = bgr.astype(jnp.int32)
+    L, a, bb = _bgr2lab_channels(x[..., 0], x[..., 1], x[..., 2])
     lab = jnp.stack([L, a, bb], axis=-1)
+    return jnp.clip(lab, 0, 255).astype(jnp.uint8)
+
+
+def planar_bgr2lab(planar: jnp.ndarray) -> jnp.ndarray:
+    """bgr2lab on (..., 3, H, W) planar u8, bit-equal to the HWC form
+    per pixel. Lets planar pipelines (the TPU-native frame layout) skip
+    the moveaxis round trip; measured perf-NEUTRAL on TPU at 980^2 — XLA
+    was already fusing the transposes into the conversion fusions
+    (PERF.md round 5 cont. 2) — but the planar form keeps that a
+    structural guarantee rather than a fusion-decision accident."""
+    x = planar.astype(jnp.int32)
+    L, a, bb = _bgr2lab_channels(
+        x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]
+    )
+    lab = jnp.stack([L, a, bb], axis=-3)
     return jnp.clip(lab, 0, 255).astype(jnp.uint8)
 
 
@@ -265,11 +288,12 @@ def _srgb_gamma(u):
     )
 
 
-def lab2bgr(lab: jnp.ndarray) -> jnp.ndarray:
-    """cv2.COLOR_LAB2BGR for u8 (float path; parity within ~1 level)."""
-    L = lab[..., 0].astype(jnp.float32) * jnp.float32(100.0 / 255.0)
-    a = lab[..., 1].astype(jnp.float32) - 128.0
-    b = lab[..., 2].astype(jnp.float32) - 128.0
+def _lab2bgr_channels(l_u8, a_u8, b_u8):
+    """Per-channel Lab u8 -> (B, G, R) f32 in [0, 1] pre-quantization:
+    the layout-free core shared by the HWC and planar forms."""
+    L = l_u8.astype(jnp.float32) * jnp.float32(100.0 / 255.0)
+    a = a_u8.astype(jnp.float32) - 128.0
+    b = b_u8.astype(jnp.float32) - 128.0
     fY = (L + 16.0) / 116.0
     fX = fY + a / 500.0
     fZ = fY - b / 200.0
@@ -284,7 +308,24 @@ def lab2bgr(lab: jnp.ndarray) -> jnp.ndarray:
     R = Minv[0, 0] * X + Minv[0, 1] * Y + Minv[0, 2] * Z
     G = Minv[1, 0] * X + Minv[1, 1] * Y + Minv[1, 2] * Z
     B = Minv[2, 0] * X + Minv[2, 1] * Y + Minv[2, 2] * Z
+    return B, G, R
+
+
+def lab2bgr(lab: jnp.ndarray) -> jnp.ndarray:
+    """cv2.COLOR_LAB2BGR for u8 (float path; parity within ~1 level)."""
+    B, G, R = _lab2bgr_channels(lab[..., 0], lab[..., 1], lab[..., 2])
     rgb = jnp.stack([B, G, R], axis=-1)
+    rgb = _srgb_gamma(jnp.clip(rgb, 0.0, 1.0))
+    return jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
+
+
+def planar_lab2bgr(planar: jnp.ndarray) -> jnp.ndarray:
+    """lab2bgr on (..., 3, H, W) planar u8, bit-equal to the HWC form
+    per pixel (see planar_bgr2lab for why planar wins on TPU)."""
+    B, G, R = _lab2bgr_channels(
+        planar[..., 0, :, :], planar[..., 1, :, :], planar[..., 2, :, :]
+    )
+    rgb = jnp.stack([B, G, R], axis=-3)
     rgb = _srgb_gamma(jnp.clip(rgb, 0.0, 1.0))
     return jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
 

@@ -97,6 +97,11 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    if jax.default_backend() != "tpu":
+        log("the Mosaic kernels under ablation need the TPU backend "
+            f"(got {jax.default_backend()!r}); nothing to measure here")
+        return 2
+
     from chessboard_vision_tpu.models.pipeline import nested_scan
     from chessboard_vision_tpu.ops.enhance import clahe_luts_from_hist
     from chessboard_vision_tpu.ops.pallas.bilateral import bilateral_planar_pallas

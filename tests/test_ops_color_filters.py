@@ -185,3 +185,28 @@ class TestOtsu:
         t, b = ops.otsu_binarize(x)
         assert float(t) == t_ref
         assert np.array_equal(np.asarray(b), b_ref)
+
+
+class TestPlanarLab:
+    """planar_bgr2lab / planar_lab2bgr: the transpose-free enhanced-path
+    forms must be BIT-equal to the HWC forms per pixel (they share the
+    channel-math core; PERF.md round 5 cont. 2)."""
+
+    def test_planar_bgr2lab_bitequal(self, rng):
+        img = rng.integers(0, 256, (64, 96, 3), np.uint8)
+        hwc = np.asarray(ops.bgr2lab(jnp.asarray(img)))
+        pl = np.asarray(ops.planar_bgr2lab(jnp.asarray(np.moveaxis(img, -1, 0))))
+        assert np.array_equal(np.moveaxis(pl, 0, -1), hwc)
+
+    def test_planar_lab2bgr_bitequal(self, rng):
+        lab = rng.integers(0, 256, (64, 96, 3), np.uint8)
+        hwc = np.asarray(ops.lab2bgr(jnp.asarray(lab)))
+        pl = np.asarray(ops.planar_lab2bgr(jnp.asarray(np.moveaxis(lab, -1, 0))))
+        assert np.array_equal(np.moveaxis(pl, 0, -1), hwc)
+
+    def test_planar_batch_axis(self, rng):
+        imgs = rng.integers(0, 256, (2, 3, 32, 48), np.uint8)
+        out = np.asarray(ops.planar_bgr2lab(jnp.asarray(imgs)))
+        for k in range(2):
+            one = np.asarray(ops.planar_bgr2lab(jnp.asarray(imgs[k])))
+            assert np.array_equal(out[k], one)

@@ -60,3 +60,17 @@ def test_pallas_matches_xla_on_tpu(rng, shape):
     d = np.abs(a - b)
     assert d.max() <= 1
     assert (d > 0).mean() < 1e-4
+
+
+def test_ablate_gate_variants_trace():
+    """The measurement-only _ablate gates (tools/ablate_enhanced.py /
+    PERF.md round-5 floor table) must keep the kernel traceable with
+    unchanged output shape/dtype; eval_shape exercises every gated trace
+    path without a TPU."""
+    img = jnp.zeros((3, 980, 980), jnp.uint8)
+    for m in ("", "noexp", "cdonly", "shifts"):
+        s = jax.eval_shape(
+            lambda y, m=m: pb.bilateral_planar_pallas(y, 9, 75.0, 75.0, _ablate=m),
+            img,
+        )
+        assert (s.shape, s.dtype) == ((3, 980, 980), jnp.uint8)

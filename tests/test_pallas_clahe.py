@@ -86,3 +86,29 @@ def test_pallas_clahe_matches_cv2_on_tpu(rng, shape):
     d = np.abs(out - ref.astype(int))
     assert d.max() <= 1
     assert (d > 0).mean() < 1e-3
+
+
+def test_ablate_gate_variants_trace():
+    """The measurement-only _ablate gates (tools/ablate_enhanced.py /
+    PERF.md round-5 floor table) must keep the kernels traceable with
+    unchanged output shape/dtype; eval_shape exercises every gated trace
+    path without a TPU."""
+    from chessboard_vision_tpu.ops.pallas.clahe_apply import (
+        clahe_apply_pallas_v2,
+        clahe_hist_pallas_v3,
+    )
+
+    pad = jnp.zeros((984, 984), jnp.uint8)
+    luts = jnp.zeros((64, 256), jnp.float32)
+    for m in ("", "matonly"):
+        s = jax.eval_shape(
+            lambda p, m=m: clahe_hist_pallas_v3(p, 123, 123, 8, band=16, _ablate=m),
+            pad,
+        )
+        assert (s.shape, s.dtype) == ((64, 256), jnp.int32)
+    for m in ("", "matonly", "blendonly"):
+        s = jax.eval_shape(
+            lambda p, m=m: clahe_apply_pallas_v2(p, luts, 123, 123, 8, _ablate=m),
+            pad,
+        )
+        assert (s.shape, s.dtype) == ((984, 984), jnp.uint8)
