@@ -8,8 +8,14 @@ direction-quantized NMS with OpenCV's exact >/>= tie rules (strict > on
 both diagonal neighbors), and 8-connected hysteresis.
 
 Hysteresis is a fixpoint loop of masked 3x3 dilations inside
-``lax.while_loop`` — converges in O(longest weak chain) iterations; each
-iteration is a cheap fused elementwise op on the (64, H, W) batch.
+``lax.while_loop`` — converges in O(longest weak chain) iterations.
+The dilations run on BITPLANES: hysteresis is per-image-independent
+boolean logic, so the (N, H, W) strong/weak batch packs into
+ceil(N/32) uint32 planes and every masked dilation is | & on (H, W)
+words carrying 32 images per lane element. The production 8-dilation
+bounded chain's HBM traffic drops ~24x (each unpacked dilation was a
+~2.9 MB bandwidth-bound fusion — PERF.md round 5 cont. 3); results are
+bit-identical by construction (per-bit | & == per-square | &).
 """
 
 from __future__ import annotations
@@ -37,8 +43,31 @@ def _shift2(x, dy, dx):
     return xp[..., pb : pb + h, pr : pr + w]
 
 
+def _pack_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) bool -> (ceil(N/32), H, W) uint32 bitplanes.
+
+    Image s lives in bit s % 32 of plane s // 32; padding images are
+    zero (never strong, never weak — inert under dilation). Bits are
+    disjoint so the sum below is a bitwise OR."""
+    n, h, w = x.shape
+    k = -(-n // 32)
+    xp = jnp.pad(x, ((0, k * 32 - n), (0, 0), (0, 0)))
+    b = xp.astype(jnp.uint32).reshape(k, 32, h, w)
+    sh = jnp.arange(32, dtype=jnp.uint32).reshape(1, 32, 1, 1)
+    return jnp.sum(b << sh, axis=1, dtype=jnp.uint32)
+
+
+def _unpack_bits(p: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(K, H, W) uint32 bitplanes -> (n, H, W) bool."""
+    k, h, w = p.shape
+    sh = jnp.arange(32, dtype=jnp.uint32).reshape(1, 32, 1, 1)
+    bits = (p[:, None] >> sh) & jnp.uint32(1)
+    return bits.reshape(k * 32, h, w)[:n].astype(bool)
+
+
 def _dilate3(x: jnp.ndarray) -> jnp.ndarray:
-    """8-connected binary dilation of a (..., H, W) bool map.
+    """8-connected dilation of a (..., H, W) bool map or uint32 bitplane
+    stack (bitwise OR dilates all 32 packed images at once).
 
     Separable shifted-OR form (pad + static slices + ORs): pure elementwise
     ops that XLA fuses and that batch cleanly under vmap at any rank —
@@ -97,20 +126,25 @@ def canny(img: jnp.ndarray, low: int, high: int, max_iters: int = 256,
     strong = cand & (c > high)
     weak = cand & ~strong
 
-    # Flatten leading batch dims for the propagation loop: TPU XLA lowers
-    # reduce_window on >3-D pred arrays (the vmapped multi-stream case)
-    # ~80x slower than the equivalent 3-D call.
+    # Flatten leading batch dims and PACK into uint32 bitplanes: the
+    # propagation is per-image-independent boolean logic, so 32 images
+    # ride each word and the dilation chain runs on ceil(N/32) (H, W)
+    # planes instead of N — the production 8-dilation bounded chain was
+    # 8 bandwidth-bound ~2.9 MB fusions at (64, 122, 122) (PERF.md
+    # round 5 cont. 3). Bit-identical: per-bit | & == per-image | &.
     shape = strong.shape
-    if strong.ndim > 3:
-        strong = strong.reshape((-1,) + shape[-2:])
-        weak = weak.reshape((-1,) + shape[-2:])
+    strong = strong.reshape((-1,) + shape[-2:])
+    weak = weak.reshape((-1,) + shape[-2:])
+    n = strong.shape[0]
+    strong = _pack_bits(strong)
+    weak = _pack_bits(weak)
 
     if hysteresis_rounds >= 0:
         edges = strong
         for _ in range(hysteresis_rounds):
             for _ in range(4):
                 edges = edges | (_dilate3(edges) & weak)
-        return edges.reshape(shape)
+        return _unpack_bits(edges, n).reshape(shape)
 
     def cond(carry):
         cur, changed, i = carry
@@ -127,4 +161,4 @@ def canny(img: jnp.ndarray, low: int, high: int, max_iters: int = 256,
         return new, jnp.any(new != cur), i + 4
 
     edges, _, _ = jax.lax.while_loop(cond, body, (strong, jnp.asarray(True), 0))
-    return edges.reshape(shape)
+    return _unpack_bits(edges, n).reshape(shape)
