@@ -266,3 +266,35 @@ class TestChangeUncalibratedGate:
         state = change_ops.calibrate(gray, 100.0)
         det2 = change_ops.detect(state, gray, 2.5, valid, counts)
         assert not np.asarray(det2.significant).any()
+
+
+class TestBitplaneHysteresis:
+    """The uint32 bitplane packing behind hysteresis propagation
+    (PERF.md round 5 cont. 3) — the dilation chain must be per-image
+    exact through the packed representation."""
+
+    def test_pack_unpack_roundtrip(self, rng):
+        from chessboard_vision_tpu.ops.canny import _pack_bits, _unpack_bits
+
+        for n in (1, 31, 32, 64, 65):
+            x = rng.random((n, 9, 11)) < 0.3
+            p = _pack_bits(jnp.asarray(x))
+            assert p.shape == (-(-n // 32), 9, 11) and p.dtype == jnp.uint32
+            assert np.array_equal(np.asarray(_unpack_bits(p, n)), x)
+
+    def test_packed_dilate_matches_per_image(self, rng):
+        from chessboard_vision_tpu.ops.canny import (
+            _dilate3, _pack_bits, _unpack_bits)
+
+        x = rng.random((40, 13, 17)) < 0.2
+        packed = np.asarray(_unpack_bits(_dilate3(_pack_bits(jnp.asarray(x))), 40))
+        plain = np.asarray(_dilate3(jnp.asarray(x)))
+        assert np.array_equal(packed, plain)
+
+    def test_bounded_rounds_match_fixpoint_when_converged(self, rng):
+        """On images whose weak chains are short, rounds=2 equals the
+        exact fixpoint — the production fast path's calibration premise."""
+        imgs = np.stack([make_square(rng, radius=25, noise=6) for _ in range(8)])
+        exact = np.asarray(canny(jnp.asarray(imgs), 50, 100))
+        bounded = np.asarray(canny(jnp.asarray(imgs), 50, 100, hysteresis_rounds=2))
+        assert np.array_equal(exact, bounded)
