@@ -31,7 +31,12 @@ CHANGE_THRESHOLD = 25  # mean-abs-diff gate (piece_detector.py:50)
 
 
 class PieceState(NamedTuple):
-    ref_gray: jnp.ndarray  # (64, H, W) u8 visual reference (preprocessed)
+    ref_gray: jnp.ndarray  # (64, H*W) u8 visual reference (preprocessed),
+    #   stored FLAT: 2-D row-major has no layout-permutation freedom, so
+    #   the donated scan carry never pays a relayout copy against the
+    #   update select (the change model's means/variances got the same
+    #   treatment — PERF.md round-4 cont. 4 / round-5 cont. 4). Legacy
+    #   3-D checkpoints reshape on load (utils/checkpoint.py).
     has_ref: jnp.ndarray  # (64,) bool
     cache_has: jnp.ndarray  # (64,) bool raw cached result
     cache_method: jnp.ndarray  # (64,) i32
@@ -46,8 +51,11 @@ class PieceState(NamedTuple):
 
 def init_state(shape=(64, 77, 77)) -> PieceState:
     n = shape[0]
+    p = 1
+    for d in shape[1:]:
+        p *= int(d)
     return PieceState(
-        ref_gray=jnp.zeros(shape, jnp.uint8),
+        ref_gray=jnp.zeros((n, p), jnp.uint8),
         has_ref=jnp.zeros((n,), bool),
         cache_has=jnp.zeros((n,), bool),
         cache_method=jnp.zeros((n,), jnp.int32),
@@ -82,10 +90,12 @@ class DetectAllOutputs(NamedTuple):
     #   the state pytree unchanged keeps old checkpoints loadable.
 
 
-def _mean_diff_exceeds(gray, ref, counts, valid, threshold):
-    """mean(|gray - ref|) > threshold with integer-exact comparison."""
-    d = jnp.abs(gray.astype(jnp.int32) - ref.astype(jnp.int32))
-    s = jnp.sum(d * valid, axis=(-2, -1))
+def _mean_diff_exceeds(gray_flat, ref_flat, counts, valid_flat, threshold):
+    """mean(|gray - ref|) > threshold with integer-exact comparison
+    (flat (.., P) operands; the sum is order-exact integers, so the flat
+    form is bit-equal to the old 3-D one)."""
+    d = jnp.abs(gray_flat.astype(jnp.int32) - ref_flat.astype(jnp.int32))
+    s = jnp.sum(d * valid_flat, axis=-1)
     return s > threshold * counts
 
 
@@ -136,10 +146,19 @@ def detect_all(
     hough_param1: int = 100,
     hough_param2: int = 25,
     center_diff_threshold: float = 40.0,
+    gray_flat: Optional[jnp.ndarray] = None,
 ) -> Tuple[PieceState, DetectAllOutputs]:
-    """One detect_all_pieces step. gray: (64, H, W) u8 preprocessed squares."""
+    """One detect_all_pieces step. gray: (64, H, W) u8 preprocessed squares.
+
+    gray_flat: optional pre-flattened (64, H*W) view of the SAME gray —
+    the pipeline passes the flatten it already materializes for the
+    change model so the flat ref compare/update shares it (a second
+    in-step flatten would re-tile ~7 us/frame at 1080p)."""
+    if gray_flat is None:
+        gray_flat = gray.reshape(gray.shape[0], -1)
     changed = _mean_diff_exceeds(
-        gray, state.ref_gray, masks.counts, masks.valid, CHANGE_THRESHOLD
+        gray_flat, state.ref_gray, masks.counts, masks.valid_flat,
+        CHANGE_THRESHOLD,
     ) | ~state.has_ref
     visual_changes = changed
 
@@ -174,7 +193,7 @@ def detect_all(
 
     ref_update = should & is_stable_update
     new_state = PieceState(
-        ref_gray=jnp.where(ref_update[:, None, None], gray, state.ref_gray),
+        ref_gray=jnp.where(ref_update[:, None], gray_flat, state.ref_gray),
         has_ref=state.has_ref | ref_update,
         cache_has=raw_has,
         cache_method=raw_method,
@@ -202,11 +221,16 @@ def detect_all(
     return new_state, outputs
 
 
+def _flat(gray: jnp.ndarray) -> jnp.ndarray:
+    """(64, H, W) or already-flat (64, P) gray -> (64, P)."""
+    return gray if gray.ndim == 2 else gray.reshape(gray.shape[0], -1)
+
+
 def update_references(state: PieceState, gray: jnp.ndarray) -> PieceState:
     """Force-refresh all visual references and clear the result cache
     (reference update_references, piece_detector.py:447-453)."""
     return state._replace(
-        ref_gray=gray,
+        ref_gray=_flat(gray),
         has_ref=jnp.ones_like(state.has_ref),
         has_cache=jnp.zeros_like(state.has_cache),
     )
@@ -268,7 +292,7 @@ class PieceDetectorModel:
         gray = jnp.asarray(gray)
         fresh = piece_ops.detect_pieces(gray, self.masks, self.params, self.bounds)
         self.state = self.state._replace(
-            ref_gray=gray,
+            ref_gray=_flat(gray),
             has_ref=jnp.ones_like(self.state.has_ref),
             cache_has=fresh.has_piece,
             cache_method=fresh.method,

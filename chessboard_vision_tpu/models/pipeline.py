@@ -375,13 +375,20 @@ class VisionPipeline:
         # refresh_refs: () scalar (whole-board refresh) or a per-square
         # vector (the stream-folded batched pipeline, where each stream's
         # 64 squares carry that stream's flag).
+        # ONE flatten of gray serves the piece ref compare/update AND (for
+        # the default shared-blur config) the change ops — XLA does not
+        # CSE duplicate reshapes across fusions (~7 us each at 1080p), and
+        # the flat (64, P) piece/change state never pays the donated-carry
+        # relayout copy the 3-D layouts did (PERF.md round-4 cont. 4 /
+        # round-5 cont. 4).
+        gray_flat = change_ops.flatten_pixels(gray)
         p = state.piece
         refresh_px = (
             refresh_refs if jnp.ndim(refresh_refs) == 0
-            else refresh_refs[:, None, None]
+            else refresh_refs[:, None]
         )
         piece_in = p._replace(
-            ref_gray=jnp.where(refresh_px, gray, p.ref_gray),
+            ref_gray=jnp.where(refresh_px, gray_flat, p.ref_gray),
             has_ref=jnp.where(refresh_refs, True, p.has_ref),
             has_cache=jnp.where(refresh_refs, False, p.has_cache),
         )
@@ -399,15 +406,15 @@ class VisionPipeline:
             hough_backend=self.hough_backend,
             conv_plan=consts.conv_plan,
             conv_dims=self.conv_dims,
+            gray_flat=gray_flat,
             **self._det_kwargs,
         )
 
-        gcd = gray if gray_change is None else gray_change
         if self.with_change:
-            # Flatten ONCE for both change ops (the ops flatten internally
-            # too, but XLA does not CSE the two reshapes across fusions —
-            # ~7 us/step of duplicate re-tiling at 1080p).
-            gcd = change_ops.flatten_pixels(gcd)
+            gcd = (
+                gray_flat if gray_change is None
+                else change_ops.flatten_pixels(gray_change)
+            )
             cdet = change_ops.detect(
                 state.change, gcd, self.z_threshold,
                 consts.dg.sq_mask_flat, consts.dg.sq_counts,

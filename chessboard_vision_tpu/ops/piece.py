@@ -39,6 +39,10 @@ class PieceMasks(NamedTuple):
     ring_counts: jnp.ndarray  # (64, 4) i32
     heights: jnp.ndarray  # (64,) i32
     widths: jnp.ndarray  # (64,) i32
+    valid_flat: jnp.ndarray  # (64, H*W) bool — pre-flattened `valid` for
+    #   the flat-state visual-reference compare (consts are jit args: an
+    #   in-step flatten of a constant re-tiles it every frame, PERF.md
+    #   round-4 cont. 4)
 
     @classmethod
     def build(cls, heights, widths, pad_h: int, pad_w: int) -> "PieceMasks":
@@ -79,6 +83,7 @@ class PieceMasks(NamedTuple):
             ring_counts=jnp.asarray(rings.sum((2, 3)).astype(np.int32)),
             heights=jnp.asarray(heights.astype(np.int32)),
             widths=jnp.asarray(widths.astype(np.int32)),
+            valid_flat=jnp.asarray(valid.reshape(64, -1)),
         )
 
 
